@@ -1,0 +1,235 @@
+"""Golden parity tests for vocoder_tpu.ops.spectral against torch oracles.
+
+Oracles mirror the exact reference semantics:
+- LinearSpectrogram: /root/reference/fish_vocoder/data/transforms/spectrogram.py:25-56
+- MR-STFT loss stft: /root/reference/fish_vocoder/modules/losses/stft.py:13-36
+- MRD spectrogram:   /root/reference/fish_vocoder/modules/discriminators/mrd.py:52-73
+- vocos ISTFT "same" (consumed at modules/generators/vocos.py:33-38)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from vocoder_tpu.ops import (
+    istft_same,
+    linear_spectrogram,
+    log_mel_spectrogram,
+    mel_filterbank,
+    overlap_add,
+    stft_magnitude,
+    stft_reim,
+)
+
+
+def _torch_stft_mag(y, n_fft, hop, win, center, window=None):
+    if window is None:
+        window = torch.hann_window(win, dtype=torch.float64)
+    spec = torch.stft(
+        y,
+        n_fft,
+        hop_length=hop,
+        win_length=win,
+        window=window,
+        center=center,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    return torch.view_as_real(spec)
+
+
+def test_linear_spectrogram_matches_reference_semantics():
+    rng = np.random.default_rng(0)
+    n_fft = win = 512
+    hop = 128
+    t = hop * 20
+    x = rng.standard_normal((2, t))
+
+    y = torch.from_numpy(x)
+    y = F.pad(y.unsqueeze(1), ((win - hop) // 2, (win - hop + 1) // 2), mode="reflect").squeeze(1)
+    spec = _torch_stft_mag(y, n_fft, hop, win, center=False)
+    want = torch.sqrt(spec.pow(2).sum(-1) + 1e-6).numpy()
+
+    got = np.asarray(linear_spectrogram(jnp.asarray(x, jnp.float32), n_fft=n_fft, hop_length=hop, win_length=win))
+    assert got.shape == want.shape == (2, n_fft // 2 + 1, t // hop)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_fft,hop,win", [(256, 32, 128), (512, 120, 300)])
+def test_center_stft_matches_loss_oracle(n_fft, hop, win):
+    # MR-STFT loss: torch.stft with center=True (default), window len win < n_fft,
+    # magnitude clamped at 1e-6 before sqrt (losses/stft.py:36).
+    rng = np.random.default_rng(1)
+    t = 2000
+    x = rng.standard_normal((3, t))
+    spec = _torch_stft_mag(torch.from_numpy(x), n_fft, hop, win, center=True)
+    want = torch.sqrt(torch.clamp(spec.pow(2).sum(-1), min=1e-6)).numpy()
+
+    got = np.asarray(
+        stft_magnitude(
+            jnp.asarray(x, jnp.float32),
+            n_fft=n_fft,
+            hop_length=hop,
+            win_length=win,
+            padding="center",
+            mag_mode="clamp_inside",
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_same_nfft_padding_matches_mrd_oracle():
+    # MRD: reflect pad ((n_fft-hop)//2, (n_fft-hop+1)//2), center=False, plain L2 mag.
+    rng = np.random.default_rng(2)
+    n_fft, hop, win = 256, 30, 150
+    t = 1501
+    x = rng.standard_normal((2, t))
+
+    y = torch.from_numpy(x)
+    y = F.pad(y, ((n_fft - hop) // 2, (n_fft - hop + 1) // 2), mode="reflect")
+    spec = _torch_stft_mag(y, n_fft, hop, win, center=False)
+    want = torch.norm(spec, p=2, dim=-1).numpy()
+
+    got = np.asarray(
+        stft_magnitude(
+            jnp.asarray(x, jnp.float32),
+            n_fft=n_fft,
+            hop_length=hop,
+            win_length=win,
+            padding="same_nfft",
+            mag_mode="plain",
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_mel_filterbank_slaney_librosa_style_oracle():
+    # Independent construction (librosa-style ramps) of the slaney/slaney fbank.
+    sr, n_fft, n_mels = 44100, 2048, 128
+    fb = mel_filterbank(sr, n_fft, n_mels, 0.0, sr // 2)
+
+    def hz2mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        return np.where(f >= 1000.0, 15.0 + np.log(f / 1000.0) / (np.log(6.4) / 27.0), 3.0 * f / 200.0)
+
+    def mel2hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        return np.where(m >= 15.0, 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0)), 200.0 * m / 3.0)
+
+    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel_f = mel2hz(np.linspace(hz2mel(0.0), hz2mel(sr // 2), n_mels + 2))
+    want = np.zeros((n_mels, len(freqs)))
+    for m in range(n_mels):
+        lower = (freqs - mel_f[m]) / (mel_f[m + 1] - mel_f[m])
+        upper = (mel_f[m + 2] - freqs) / (mel_f[m + 2] - mel_f[m + 1])
+        want[m] = np.maximum(0, np.minimum(lower, upper)) * 2.0 / (mel_f[m + 2] - mel_f[m])
+    np.testing.assert_allclose(fb, want.T, rtol=1e-5, atol=1e-7)
+
+
+def test_log_mel_spectrogram_composition():
+    rng = np.random.default_rng(3)
+    sr, n_fft, hop, win, n_mels = 44100, 512, 128, 512, 80
+    t = hop * 16
+    x = rng.standard_normal((2, t)) * 0.2
+
+    y = torch.from_numpy(x)
+    y = F.pad(y.unsqueeze(1), ((win - hop) // 2, (win - hop + 1) // 2), mode="reflect").squeeze(1)
+    spec = _torch_stft_mag(y, n_fft, hop, win, center=False)
+    lin = torch.sqrt(spec.pow(2).sum(-1) + 1e-6).numpy()  # (B, bins, T)
+    fb = mel_filterbank(sr, n_fft, n_mels, 0.0, sr // 2)
+    want = np.log(np.clip(np.einsum("bft,fm->bmt", lin, fb), 1e-5, None))
+
+    got = np.asarray(
+        log_mel_spectrogram(
+            jnp.asarray(x, jnp.float32),
+            sample_rate=sr,
+            n_fft=n_fft,
+            hop_length=hop,
+            win_length=win,
+            n_mels=n_mels,
+        )
+    )
+    assert got.shape == want.shape == (2, n_mels, t // hop)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _torch_vocos_istft_same(S: torch.Tensor, n_fft: int, hop: int, win: int):
+    """Oracle for vocos.spectral_ops.ISTFT(padding='same'), fold-based."""
+    window = torch.hann_window(win, dtype=torch.float64)
+    pad = (win - hop) // 2
+    B, N, T = S.shape
+    ifft = torch.fft.irfft(S, n_fft, dim=1, norm="backward")
+    ifft = ifft * window[None, :, None]
+    output_size = (T - 1) * hop + win
+    y = F.fold(
+        ifft, output_size=(1, output_size), kernel_size=(1, win), stride=(1, hop)
+    )[:, 0, 0, pad:-pad]
+    window_sq = window.square().expand(1, T, -1).transpose(1, 2)
+    window_envelope = F.fold(
+        window_sq, output_size=(1, output_size), kernel_size=(1, win), stride=(1, hop)
+    ).squeeze()[pad:-pad]
+    assert (window_envelope > 1e-11).all()
+    return y / window_envelope
+
+
+def test_istft_same_matches_vocos_oracle():
+    rng = np.random.default_rng(4)
+    n_fft = win = 256
+    hop = 64
+    frames = 20
+    bins = n_fft // 2 + 1
+    re = rng.standard_normal((2, bins, frames))
+    im = rng.standard_normal((2, bins, frames))
+
+    S = torch.complex(torch.from_numpy(re), torch.from_numpy(im))
+    want = _torch_vocos_istft_same(S, n_fft, hop, win).numpy()
+
+    got = np.asarray(
+        istft_same(
+            jnp.asarray(re, jnp.float32),
+            jnp.asarray(im, jnp.float32),
+            n_fft=n_fft,
+            hop_length=hop,
+            win_length=win,
+        )
+    )
+    assert got.shape == want.shape == (2, frames * hop)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_istft_roundtrip_reconstruction():
+    # stft(same_win) -> istft(same) should reconstruct the interior exactly.
+    rng = np.random.default_rng(5)
+    n_fft = win = 256
+    hop = 64
+    t = hop * 32
+    x = rng.standard_normal((1, t)).astype(np.float32)
+    re, im = stft_reim(jnp.asarray(x), n_fft=n_fft, hop_length=hop, win_length=win, padding="same_win")
+    y = np.asarray(istft_same(re, im, n_fft=n_fft, hop_length=hop, win_length=win))
+    assert y.shape == x.shape
+    # Edges are affected by reflect-padding; compare the interior.
+    m = win
+    np.testing.assert_allclose(y[:, m:-m], x[:, m:-m], rtol=1e-3, atol=1e-3)
+
+
+def test_overlap_add_general_matches_fast_path():
+    rng = np.random.default_rng(6)
+    frames = jnp.asarray(rng.standard_normal((2, 7, 32)), jnp.float32)
+    fast = np.asarray(overlap_add(frames, 8))  # 32 % 8 == 0 -> fast path
+    # Force the general path via a hop that does not divide N.
+    general = np.asarray(overlap_add(frames, 8 if 32 % 8 else 8))
+    np.testing.assert_allclose(fast, general, rtol=1e-6, atol=1e-6)
+    # Non-divisible hop exercises the conv fallback (shape check + manual oracle).
+    hop = 12
+    out = np.asarray(overlap_add(frames, hop))
+    want = np.zeros((2, 6 * hop + 32))
+    fnp = np.asarray(frames)
+    for f in range(7):
+        want[:, f * hop : f * hop + 32] += fnp[:, f]
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)

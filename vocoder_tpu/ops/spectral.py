@@ -1,0 +1,348 @@
+"""Spectral ops: STFT magnitude, log-mel, iSTFT — TPU-native (MXU-friendly).
+
+Instead of delegating to cuFFT like the reference (torch.stft in
+fish_vocoder/data/transforms/spectrogram.py:38-49, modules/discriminators/
+mrd.py:62-69, modules/losses/stft.py:24-32), the STFT here is expressed as a
+strided convolution against a *windowed DFT basis*: one conv with
+``2*(n_fft//2+1)`` output channels, stride ``hop``.  XLA lowers this onto the
+MXU as a large batched matmul, which is the fast path on TPU; the
+frame-extraction, windowing and DFT all fuse into a single op with no gather.
+
+Semantics match the reference exactly (verified by parity tests against
+torch.stft oracles):
+
+- ``padding="same_win"``   -> reflect-pad ((win-hop)//2, (win-hop+1)//2),
+  center=False; used by LinearSpectrogram (spectrogram.py:29-36).
+- ``padding="same_nfft"``  -> reflect-pad ((n_fft-hop)//2, (n_fft-hop+1)//2),
+  center=False; used by the MRD discriminator (mrd.py:52-60).
+- ``padding="center"``     -> reflect-pad n_fft//2 both sides (torch.stft
+  center=True default); used by the MR-STFT loss (losses/stft.py:24-32).
+
+Magnitude modes:
+- ``"eps_inside"``  : sqrt(re^2 + im^2 + 1e-6)        (spectrogram.py:54)
+- ``"clamp_inside"``: sqrt(clamp(re^2 + im^2, 1e-6))  (losses/stft.py:36)
+- ``"plain"``       : sqrt(re^2 + im^2)               (mrd.py:71 torch.norm)
+
+The iSTFT implements the vocos "same"-padding semantics (overlap-add of
+windowed irfft frames, normalised by the window-square envelope, trimmed by
+(win-hop)//2 on both sides) used by ISTFTHead (modules/generators/vocos.py:33-38).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Windows and filterbanks (host-side constants, cached per config)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window, matching torch.hann_window(win_length)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float32)
+
+
+def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
+    f = np.asarray(f, dtype=np.float64)
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz * 3.0 / 200.0
+    logstep = math.log(6.4) / 27.0
+    mel = f * 3.0 / 200.0
+    with np.errstate(divide="ignore"):
+        log_mel = min_log_mel + np.log(np.maximum(f, 1e-30) / min_log_hz) / logstep
+    return np.where(f >= min_log_hz, log_mel, mel)
+
+
+def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz * 3.0 / 200.0
+    logstep = math.log(6.4) / 27.0
+    f = m * 200.0 / 3.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), f)
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    f_min: float = 0.0,
+    f_max: float | None = None,
+) -> np.ndarray:
+    """Slaney-scale, slaney-normalised mel filterbank, shape (n_freqs, n_mels).
+
+    Matches torchaudio.functional.melscale_fbanks(..., norm="slaney",
+    mel_scale="slaney") as used by LogMelSpectrogram (spectrogram.py:83-91).
+    """
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    n_freqs = n_fft // 2 + 1
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+
+    m_min = _hz_to_mel_slaney(np.array(f_min))
+    m_max = _hz_to_mel_slaney(np.array(f_max))
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = _mel_to_hz_slaney(m_pts)
+
+    f_diff = f_pts[1:] - f_pts[:-1]  # (n_mels + 1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]  # (n_freqs, n_mels + 2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+
+    # Slaney area normalisation
+    enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+    fb = fb * enorm[None, :]
+    return fb.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_conv_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed forward-DFT basis as a conv kernel, shape (n_fft, 1, 2*bins).
+
+    Output channels are [cos * win | -sin * win], so a stride-`hop` VALID conv
+    yields interleaved (re, im) STFT coefficients.  The window is centre-padded
+    to n_fft when win_length < n_fft, matching torch.stft.
+    """
+    bins = n_fft // 2 + 1
+    win = hann_window(win_length).astype(np.float64)
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        w = np.zeros(n_fft, dtype=np.float64)
+        w[left : left + win_length] = win
+    else:
+        w = win
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(bins, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, bins)
+    basis = np.concatenate([np.cos(ang) * w[:, None], -np.sin(ang) * w[:, None]], axis=1)
+    return basis.astype(np.float32)[:, None, :].transpose(0, 1, 2)  # (n_fft, 1, 2*bins)
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_basis(n_fft: int) -> np.ndarray:
+    """Inverse real-DFT basis, shape (2*bins, n_fft): frames = [re|im] @ basis."""
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(bins, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft  # (bins, n_fft)
+    c = np.full(bins, 2.0)
+    c[0] = 1.0
+    if n_fft % 2 == 0:
+        c[-1] = 1.0
+    re_basis = (np.cos(ang) * c[:, None]) / n_fft
+    im_basis = (-np.sin(ang) * c[:, None]) / n_fft
+    return np.concatenate([re_basis, im_basis], axis=0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# STFT
+# ---------------------------------------------------------------------------
+
+
+def _pad_signal(x: jnp.ndarray, padding: str, n_fft: int, hop: int, win: int) -> jnp.ndarray:
+    if padding == "same_win":
+        pads = ((win - hop) // 2, (win - hop + 1) // 2)
+    elif padding == "same_nfft":
+        pads = ((n_fft - hop) // 2, (n_fft - hop + 1) // 2)
+    elif padding == "center":
+        pads = (n_fft // 2, n_fft // 2)
+    elif padding == "none":
+        return x
+    else:
+        raise ValueError(f"unknown padding mode {padding!r}")
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [pads], mode="reflect")
+
+
+def stft_reim(
+    x: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    padding: str = "same_win",
+    precision=lax.Precision.HIGHEST,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Real/imag STFT of (B, T) audio -> two (B, bins, frames) arrays."""
+    x = _pad_signal(x, padding, n_fft, hop_length, win_length)
+    basis = jnp.asarray(_dft_conv_basis(n_fft, win_length))
+    out = lax.conv_general_dilated(
+        x[..., None],  # (B, T, 1)
+        basis,  # (n_fft, 1, 2*bins)
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )  # (B, frames, 2*bins)
+    bins = n_fft // 2 + 1
+    re = jnp.transpose(out[..., :bins], (0, 2, 1))
+    im = jnp.transpose(out[..., bins:], (0, 2, 1))
+    return re, im
+
+
+def stft_magnitude(
+    x: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    padding: str = "same_win",
+    mag_mode: str = "eps_inside",
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Magnitude STFT of (B, T) audio -> (B, bins, frames)."""
+    re, im = stft_reim(
+        x,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        padding=padding,
+        precision=precision,
+    )
+    power = re * re + im * im
+    if mag_mode == "eps_inside":
+        return jnp.sqrt(power + 1e-6)
+    if mag_mode == "clamp_inside":
+        return jnp.sqrt(jnp.maximum(power, 1e-6))
+    if mag_mode == "plain":
+        return jnp.sqrt(power)
+    raise ValueError(f"unknown mag_mode {mag_mode!r}")
+
+
+def log_mel_spectrogram(
+    x: jnp.ndarray,
+    *,
+    sample_rate: int,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    n_mels: int,
+    f_min: float = 0.0,
+    f_max: float | None = None,
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Log-mel features of (B, T) audio -> (B, n_mels, frames).
+
+    Pipeline parity: LinearSpectrogram (pow2_sqrt, +1e-6) -> slaney MelScale ->
+    log(clamp(x, 1e-5))  (spectrogram.py:93-104).
+    """
+    mag = stft_magnitude(
+        x,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        padding="same_win",
+        mag_mode="eps_inside",
+        precision=precision,
+    )  # (B, bins, frames)
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max))
+    mel = jnp.einsum("bft,fm->bmt", mag, fb, precision=precision)
+    return jnp.log(jnp.maximum(mel, 1e-5))
+
+
+def linear_spectrogram(
+    x: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """LinearSpectrogram parity: (B, T) -> (B, bins, frames)."""
+    return stft_magnitude(
+        x,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        padding="same_win",
+        mag_mode="eps_inside",
+        precision=precision,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlap-add and iSTFT
+# ---------------------------------------------------------------------------
+
+
+def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
+    """Overlap-add (B, F, N) frames with the given hop -> (B, (F-1)*hop + N).
+
+    Fast path when hop divides N: reshape into N//hop shifted lanes and sum
+    (pure adds, no gather/scatter).  General fallback uses a transposed conv
+    with an anti-diagonal identity kernel.
+    """
+    b, f, n = frames.shape
+    out_len = (f - 1) * hop_length + n
+    if n % hop_length == 0:
+        r = n // hop_length
+        parts = frames.reshape(b, f, r, hop_length)
+        total = jnp.zeros((b, out_len), dtype=frames.dtype)
+        for j in range(r):
+            part = parts[:, :, j, :].reshape(b, f * hop_length)
+            part = jnp.pad(part, ((0, 0), (j * hop_length, (r - 1 - j) * hop_length)))
+            total = total + part
+        return total
+    # General case (e.g. n_fft=3072, hop=2048 in resolution 24000_2048_3072):
+    # transposed conv, kernel W[N-1-c, c, 0] = 1.
+    kernel = jnp.flip(jnp.eye(n, dtype=frames.dtype), axis=0)[:, :, None]  # (N, N, 1)
+    out = lax.conv_general_dilated(
+        frames,  # (B, F, N) as NHC
+        kernel,
+        window_strides=(1,),
+        padding=[(n - 1, n - 1)],
+        lhs_dilation=(hop_length,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=lax.Precision.HIGHEST,
+    )  # (B, out_len, 1)
+    return out[..., 0]
+
+
+def istft_same(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Vocos-style "same"-padding iSTFT.
+
+    Args:
+        re, im: (B, bins, frames) real/imag STFT coefficients.
+    Returns:
+        (B, frames * hop) waveform (when win-hop is even, as in all configs).
+
+    Matches vocos.spectral_ops.ISTFT(padding="same") consumed at
+    modules/generators/vocos.py:33-38: irfft per frame, multiply by the Hann
+    window, overlap-add, divide by the window-square envelope, trim
+    (win-hop)//2 from both ends.
+    """
+    if win_length != n_fft:
+        raise NotImplementedError("istft_same requires win_length == n_fft")
+    b, bins, f = re.shape
+    coeffs = jnp.concatenate([re, im], axis=1)  # (B, 2*bins, F)
+    basis = jnp.asarray(_idft_basis(n_fft))  # (2*bins, n_fft)
+    frames = jnp.einsum("bkf,kn->bfn", coeffs, basis, precision=precision)
+    win = jnp.asarray(hann_window(win_length))
+    frames = frames * win[None, None, :]
+    y = overlap_add(frames, hop_length)
+
+    win_sq = jnp.broadcast_to((win * win)[None, None, :], (1, f, n_fft))
+    envelope = overlap_add(win_sq, hop_length)
+    y = y / jnp.maximum(envelope, 1e-11)
+
+    pad = (win_length - hop_length) // 2
+    out_len = (f - 1) * hop_length + win_length - 2 * pad
+    return y[:, pad : pad + out_len]
