@@ -1,0 +1,99 @@
+"""Allclose parity: vocoder_tpu HiFiGAN vs the reference torch generator.
+
+The torch reference module is imported directly from /root/reference as the
+oracle (it depends only on torch, which is available CPU-side).  This is the
+BASELINE.md config-1 parity check ("HiFiGAN generator mel->waveform inference,
+waveform allclose at matched weights, CPU-runnable").
+"""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "/root/reference")
+from fish_vocoder.modules.generators.hifigan import HiFiGANGenerator  # noqa: E402
+
+from vocoder_tpu import nn  # noqa: E402
+from vocoder_tpu.models import hifigan  # noqa: E402
+
+SMALL = dict(
+    hop_length=64,
+    upsample_rates=(4, 4, 2, 2),
+    upsample_kernel_sizes=(8, 8, 4, 4),
+    resblock_kernel_sizes=(3, 7),
+    resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+    num_mels=16,
+    upsample_initial_channel=64,
+    pre_conv_kernel_size=7,
+    post_conv_kernel_size=7,
+)
+
+
+@pytest.mark.parametrize("use_template", [False, True])
+def test_hifigan_matches_torch_reference(use_template):
+    torch.manual_seed(0)
+    ref = HiFiGANGenerator(use_template=use_template, **SMALL)
+    ref.eval()
+
+    cfg = hifigan.HiFiGANConfig(use_template=use_template, **SMALL)
+    params = hifigan.from_torch_state_dict(ref.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    b, t = 2, 12
+    mel = rng.standard_normal((b, SMALL["num_mels"], t)).astype(np.float32)
+    template = rng.standard_normal((b, 1, t * SMALL["hop_length"])).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(mel), torch.from_numpy(template) if use_template else None
+        ).numpy()
+
+    got = np.asarray(
+        hifigan.apply(params, jnp.asarray(mel), cfg, jnp.asarray(template) if use_template else None)
+    )
+    assert got.shape == want.shape == (b, 1, t * SMALL["hop_length"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_hifigan_folded_weight_norm_matches():
+    """fold_weight_norm == torch remove_parametrizations (hifigan.py:251-257)."""
+    torch.manual_seed(1)
+    ref = HiFiGANGenerator(use_template=False, **SMALL)
+    ref.eval()
+    cfg = hifigan.HiFiGANConfig(use_template=False, **SMALL)
+    params = hifigan.from_torch_state_dict(ref.state_dict(), cfg)
+    folded = nn.fold_weight_norm(params)
+
+    # The torch side folds too; outputs must still match.
+    # (ref.remove_parametrizations() is incompatible with this torch version's
+    # API, so fold via the underlying torch utility.)
+    from torch.nn.utils import parametrize
+
+    for module in ref.modules():
+        if parametrize.is_parametrized(module):
+            parametrize.remove_parametrizations(module, "weight")
+    params_folded_src = hifigan.from_torch_state_dict(ref.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, SMALL["num_mels"], 9)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(mel)).numpy()
+
+    got_folded = np.asarray(hifigan.apply(folded, jnp.asarray(mel), cfg))
+    got_srcfold = np.asarray(hifigan.apply(params_folded_src, jnp.asarray(mel), cfg))
+    np.testing.assert_allclose(got_folded, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_srcfold, want, rtol=1e-4, atol=1e-5)
+
+
+def test_hifigan_init_runs_and_shapes():
+    import jax
+
+    cfg = hifigan.HiFiGANConfig(**SMALL)
+    params = hifigan.init(jax.random.key(0), cfg)
+    mel = jnp.zeros((1, SMALL["num_mels"], 8))
+    out = hifigan.apply(params, mel, cfg)
+    assert out.shape == (1, 1, 8 * SMALL["hop_length"])
+    assert nn.param_count(params) > 0

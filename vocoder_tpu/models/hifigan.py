@@ -1,0 +1,177 @@
+"""HiFiGAN generator, TPU-native.
+
+Capability parity with /root/reference/fish_vocoder/modules/generators/
+hifigan.py:25-257 (SiLU MRF variant): pre-conv -> N x (SiLU -> weight-normed
+transposed-conv upsample -> optional f0-template noise-conv add -> parallel
+block of 3 dilated resblocks averaged) -> SiLU -> post-conv -> tanh.
+
+TPU-first differences from the reference:
+- channels-last (B, T, C) activations internally (lane-dim friendly);
+- activation checkpointing is an explicit config flag lowered to jax.remat
+  (the reference reads an undefined ``self.checkpointing`` attr — drift D4 in
+  SURVEY.md — we make it a real constructor option);
+- the whole forward is one XLA program; weight-norm folds to plain convs for
+  inference via vocoder_tpu.nn.fold_weight_norm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from math import prod
+
+import jax
+import jax.numpy as jnp
+
+from vocoder_tpu import nn
+from vocoder_tpu.convert import conv1d_from_torch, conv_transpose1d_from_torch
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFiGANConfig:
+    hop_length: int = 512
+    upsample_rates: tuple = (8, 8, 2, 2, 2)
+    upsample_kernel_sizes: tuple = (16, 16, 8, 2, 2)
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 128
+    upsample_initial_channel: int = 512
+    use_template: bool = False
+    pre_conv_kernel_size: int = 7
+    post_conv_kernel_size: int = 7
+    checkpointing: bool = False  # jax.remat over resblocks (training memory)
+
+    def __post_init__(self):
+        assert prod(self.upsample_rates) == self.hop_length, (
+            f"hop_length must be {prod(self.upsample_rates)}"
+        )
+
+
+def _resblock_init(key, channels: int, kernel_size: int, dilations: tuple) -> dict:
+    keys = jax.random.split(key, 2 * len(dilations))
+    convs1 = [
+        nn.conv1d_init(keys[2 * i], channels, channels, kernel_size, weight_norm=True, init="normal")
+        for i in range(len(dilations))
+    ]
+    convs2 = [
+        nn.conv1d_init(keys[2 * i + 1], channels, channels, kernel_size, weight_norm=True, init="normal")
+        for i in range(len(dilations))
+    ]
+    return {"convs1": convs1, "convs2": convs2}
+
+
+def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple) -> jnp.ndarray:
+    for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
+        xt = nn.silu(x)
+        xt = nn.conv1d(c1, xt, padding=nn.get_padding(kernel_size, d), dilation=d)
+        xt = nn.silu(xt)
+        xt = nn.conv1d(c2, xt, padding=nn.get_padding(kernel_size))
+        x = x + xt
+    return x
+
+
+def _parallel_block_apply(p: dict, x: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
+    outs = [
+        _resblock_apply(block, x, k, d)
+        for block, k, d in zip(p["blocks"], cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+    ]
+    return sum(outs) / len(outs)
+
+
+def init(key, cfg: HiFiGANConfig) -> dict:
+    n_ups = len(cfg.upsample_rates)
+    keys = jax.random.split(key, 3 + 2 * n_ups + n_ups * len(cfg.resblock_kernel_sizes))
+    it = iter(keys)
+
+    params: dict = {
+        "conv_pre": nn.conv1d_init(
+            next(it), cfg.num_mels, cfg.upsample_initial_channel, cfg.pre_conv_kernel_size, weight_norm=True
+        )
+    }
+
+    ups, noise_convs, resblocks = [], [], []
+    ch = cfg.upsample_initial_channel
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        c_in = cfg.upsample_initial_channel // (2**i)
+        c_cur = cfg.upsample_initial_channel // (2 ** (i + 1))
+        ups.append(nn.conv_transpose1d_init(next(it), c_in, c_cur, k, weight_norm=True, init="normal"))
+        if cfg.use_template:
+            if i + 1 < n_ups:
+                stride_f0 = prod(cfg.upsample_rates[i + 1 :])
+                noise_convs.append(nn.conv1d_init(next(it), 1, c_cur, stride_f0 * 2))
+            else:
+                noise_convs.append(nn.conv1d_init(next(it), 1, c_cur, 1))
+        blocks = [
+            _resblock_init(next(it), c_cur, k_r, d_r)
+            for k_r, d_r in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        ]
+        resblocks.append({"blocks": blocks})
+        ch = c_cur
+
+    params["ups"] = ups
+    if cfg.use_template:
+        params["noise_convs"] = noise_convs
+    params["resblocks"] = resblocks
+    params["conv_post"] = nn.conv1d_init(
+        next(it), ch, 1, cfg.post_conv_kernel_size, weight_norm=True, init="normal"
+    )
+    return params
+
+
+def apply(params: dict, mel: jnp.ndarray, cfg: HiFiGANConfig, template: jnp.ndarray | None = None) -> jnp.ndarray:
+    """mel (B, num_mels, T) [+ template (B, 1, T*hop)] -> audio (B, 1, T*hop)."""
+    x = jnp.transpose(mel, (0, 2, 1))  # -> (B, T, C)
+    x = nn.conv1d(params["conv_pre"], x, padding=nn.get_padding(cfg.pre_conv_kernel_size))
+
+    if cfg.use_template:
+        template_t = jnp.transpose(template, (0, 2, 1))  # (B, T_audio, 1)
+
+    block_fn = _parallel_block_apply
+    if cfg.checkpointing:
+        block_fn = jax.checkpoint(_parallel_block_apply, static_argnums=(2,))
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = nn.silu(x)
+        x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        if cfg.use_template:
+            nc = params["noise_convs"][i]
+            if i + 1 < len(cfg.upsample_rates):
+                stride_f0 = prod(cfg.upsample_rates[i + 1 :])
+                noise = nn.conv1d(nc, template_t, stride=stride_f0, padding=stride_f0 // 2)
+            else:
+                noise = nn.conv1d(nc, template_t)
+            x = x + noise
+        x = block_fn(params["resblocks"][i], x, cfg)
+
+    x = nn.silu(x)
+    x = nn.conv1d(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size))
+    x = jnp.tanh(x)
+    return jnp.transpose(x, (0, 2, 1))  # (B, 1, T*hop)
+
+
+def from_torch_state_dict(sd: dict, cfg: HiFiGANConfig, prefix: str = "") -> dict:
+    """Convert a reference HiFiGANGenerator state_dict (weight-normed or folded)."""
+    p = prefix
+    params: dict = {"conv_pre": conv1d_from_torch(sd, f"{p}conv_pre")}
+    n_ups = len(cfg.upsample_rates)
+    params["ups"] = [conv_transpose1d_from_torch(sd, f"{p}ups.{i}") for i in range(n_ups)]
+    if cfg.use_template:
+        params["noise_convs"] = [conv1d_from_torch(sd, f"{p}noise_convs.{i}") for i in range(n_ups)]
+    resblocks = []
+    for i in range(n_ups):
+        blocks = []
+        for j in range(len(cfg.resblock_kernel_sizes)):
+            n_d = len(cfg.resblock_dilation_sizes[j])
+            blocks.append(
+                {
+                    "convs1": [
+                        conv1d_from_torch(sd, f"{p}resblocks.{i}.blocks.{j}.convs1.{l}") for l in range(n_d)
+                    ],
+                    "convs2": [
+                        conv1d_from_torch(sd, f"{p}resblocks.{i}.blocks.{j}.convs2.{l}") for l in range(n_d)
+                    ],
+                }
+            )
+        resblocks.append({"blocks": blocks})
+    params["resblocks"] = resblocks
+    params["conv_post"] = conv1d_from_torch(sd, f"{p}conv_post")
+    return jax.tree.map(jnp.asarray, params)

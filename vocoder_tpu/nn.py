@@ -1,0 +1,310 @@
+"""Minimal functional NN layer library on parameter pytrees.
+
+Design: models are pure functions over nested-dict parameter pytrees —
+``init(key, cfg) -> params`` and ``apply(params, x, ...) -> y`` — which is the
+idiomatic JAX shape for a fully jit-compiled GAN train step with two optax
+chains (no framework object graph under jit; params thread explicitly, so
+sharding annotations, weight-norm folding, and torch-checkpoint conversion are
+plain tree transforms).
+
+Activations are laid out channels-LAST (B, T, C): the channel dim maps onto
+the TPU lane dimension (128) and convs lower as ('NHC','HIO','NHC'), the
+MXU-friendly layout.  The reference keeps torch's (B, C, T); public model
+entry points accept (B, C, T) features for drop-in compatibility and
+transpose once at the boundary.
+
+Weight norm follows torch.nn.utils.parametrizations.weight_norm(dim=0)
+semantics exactly (needed for checkpoint parity with the reference, e.g.
+fish_vocoder/modules/generators/hifigan.py:158,178,214): params store
+``{"v", "g"}`` with ``g`` broadcast-shaped; the normalisation axes are the
+axes where ``g`` has size 1, so folding (`fold_weight_norm`, the analogue of
+remove_parametrizations at hifigan.py:251-257) is one generic tree transform.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = dict[str, Any]
+
+DEFAULT_PRECISION = lax.Precision.HIGHEST
+
+
+def set_default_precision(p) -> None:
+    """Set matmul/conv precision globally (HIGHEST for parity, DEFAULT for speed)."""
+    global DEFAULT_PRECISION
+    DEFAULT_PRECISION = p
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-compatible defaults)
+# ---------------------------------------------------------------------------
+
+
+def kaiming_uniform(key, shape, fan_in: int):
+    """torch's default conv/linear weight init: kaiming_uniform(a=sqrt(5))."""
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def normal_init(key, shape, mean=0.0, std=0.01):
+    """Reference init_weights (hifigan.py:15-18): normal(0, 0.01)."""
+    return mean + std * jax.random.normal(key, shape, jnp.float32)
+
+
+def trunc_normal_init(key, shape, std=0.02):
+    """ConvNeXt init (convnext.py:201-204): trunc_normal(std=.02), +-2std."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+def uniform_bias(key, shape, fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# Weight norm
+# ---------------------------------------------------------------------------
+
+
+def weight_norm_weight(p: Params) -> jnp.ndarray:
+    """Materialise the effective weight from a {"v","g"} or {"w"} layer dict."""
+    if "w" in p:
+        return p["w"]
+    v, g = p["v"], p["g"]
+    axes = tuple(d for d in range(v.ndim) if g.shape[d] == 1)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+    return v * (g / norm)
+
+
+def wn_init(w: jnp.ndarray, g_axis: int) -> Params:
+    """Wrap a weight in weight-norm params: g = ||w|| along all axes but g_axis."""
+    axes = tuple(d for d in range(w.ndim) if d != g_axis)
+    g_shape = tuple(1 if d != g_axis else w.shape[d] for d in range(w.ndim))
+    g = jnp.sqrt(jnp.sum(w * w, axis=axes, keepdims=True)).reshape(g_shape)
+    return {"v": w, "g": g}
+
+
+def fold_weight_norm(params: Params) -> Params:
+    """Recursively replace {"v","g"} with the folded {"w"} (inference mode).
+
+    The analogue of the reference's remove_parametrizations
+    (hifigan.py:251-257, test.py:41-42).
+    """
+    if isinstance(params, dict):
+        if "v" in params and "g" in params:
+            out = {k: v for k, v in params.items() if k not in ("v", "g")}
+            out["w"] = weight_norm_weight(params)
+            return out
+        return {k: fold_weight_norm(v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(fold_weight_norm(v) for v in params)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Conv layers.  Canonical weight layouts:
+#   conv1d            : (K, I/groups, O)          [HIO]
+#   conv_transpose1d  : (K, I, O) where w[k,i,o] = w_torch[i,o,K-1-k]
+#   conv2d            : (kH, kW, I, O)            [HWIO]
+# g_axis: conv1d/conv2d -> output axis (last); conv_transpose1d -> axis 1 (I),
+# mirroring torch weight_norm(dim=0) on each torch layout.
+# ---------------------------------------------------------------------------
+
+
+def conv1d_init(key, in_ch, out_ch, kernel_size, *, groups=1, bias=True, weight_norm=False, init="torch"):
+    kw, kb = jax.random.split(key)
+    shape = (kernel_size, in_ch // groups, out_ch)
+    fan_in = (in_ch // groups) * kernel_size
+    if init == "torch":
+        w = kaiming_uniform(kw, shape, fan_in)
+    elif init == "normal":
+        w = normal_init(kw, shape)
+    elif init == "trunc_normal":
+        w = trunc_normal_init(kw, shape)
+    else:
+        raise ValueError(init)
+    p = wn_init(w, g_axis=2) if weight_norm else {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,)) if init == "trunc_normal" else uniform_bias(kb, (out_ch,), fan_in)
+    return p
+
+
+def conv1d(p: Params, x: jnp.ndarray, *, stride=1, padding=0, dilation=1, groups=1, precision=None) -> jnp.ndarray:
+    """x: (B, T, C_in) -> (B, T', C_out); torch Conv1d semantics."""
+    w = weight_norm_weight(p)
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)] if isinstance(padding, int) else [padding],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        precision=precision or DEFAULT_PRECISION,
+        preferred_element_type=x.dtype,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv_transpose1d_init(key, in_ch, out_ch, kernel_size, *, bias=True, weight_norm=False, init="torch"):
+    kw, kb = jax.random.split(key)
+    shape = (kernel_size, in_ch, out_ch)
+    fan_in = out_ch * kernel_size  # torch ConvTranspose1d fan_in uses weight.size(1)*k
+    if init == "torch":
+        w = kaiming_uniform(kw, shape, fan_in)
+    elif init == "normal":
+        w = normal_init(kw, shape)
+    else:
+        raise ValueError(init)
+    p = wn_init(w, g_axis=1) if weight_norm else {"w": w}
+    if bias:
+        p["b"] = uniform_bias(kb, (out_ch,), fan_in)
+    return p
+
+
+def conv_transpose1d(p: Params, x: jnp.ndarray, *, stride, padding=0, precision=None) -> jnp.ndarray:
+    """x: (B, T, C_in) -> (B, (T-1)*stride - 2*padding + K, C_out).
+
+    torch ConvTranspose1d semantics via an input-dilated conv: dilate the
+    input by `stride`, then run a VALID conv with (K-1-padding) pads.
+    """
+    w = weight_norm_weight(p)
+    k = w.shape[0]
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision or DEFAULT_PRECISION,
+        preferred_element_type=x.dtype,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv2d_init(key, in_ch, out_ch, kernel_size, *, bias=True, weight_norm=False, init="torch"):
+    kh, kw_ = kernel_size if isinstance(kernel_size, tuple) else (kernel_size, kernel_size)
+    k1, k2 = jax.random.split(key)
+    shape = (kh, kw_, in_ch, out_ch)
+    fan_in = in_ch * kh * kw_
+    if init == "torch":
+        w = kaiming_uniform(k1, shape, fan_in)
+    elif init == "normal":
+        w = normal_init(k1, shape)
+    else:
+        raise ValueError(init)
+    p = wn_init(w, g_axis=3) if weight_norm else {"w": w}
+    if bias:
+        p["b"] = uniform_bias(k2, (out_ch,), fan_in)
+    return p
+
+
+def conv2d(p: Params, x: jnp.ndarray, *, stride=(1, 1), padding=(0, 0), precision=None) -> jnp.ndarray:
+    """x: (B, H, W, C_in) -> (B, H', W', C_out); torch Conv2d semantics."""
+    w = weight_norm_weight(p)
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision or DEFAULT_PRECISION,
+        preferred_element_type=x.dtype,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Dense / norm layers
+# ---------------------------------------------------------------------------
+
+
+def linear_init(key, in_f, out_f, *, bias=True, init="torch"):
+    k1, k2 = jax.random.split(key)
+    if init == "torch":
+        w = kaiming_uniform(k1, (in_f, out_f), in_f)
+    elif init == "trunc_normal":
+        w = trunc_normal_init(k1, (in_f, out_f))
+    else:
+        raise ValueError(init)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((out_f,)) if init == "trunc_normal" else uniform_bias(k2, (out_f,), in_f)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    y = jnp.matmul(x, p["w"], precision=precision or DEFAULT_PRECISION)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, *, eps=1e-6) -> jnp.ndarray:
+    """LayerNorm over the last (channel) axis; matches convnext.py:47-74.
+
+    (The reference's channels_first branch is the same math on (B,C,T); with
+    our channels-last layout both collapse to normalising the last axis.)
+    """
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    x = (x - mu) / jnp.sqrt(var + eps)
+    return x * p["scale"] + p["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Activations (exact torch parity)
+# ---------------------------------------------------------------------------
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def leaky_relu(x, negative_slope=0.01):
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def gelu(x):
+    # torch nn.GELU() default is the exact erf formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+def drop_path(key, x, drop_prob: float, training: bool):
+    """Stochastic depth per sample (convnext.py:7-29 semantics)."""
+    if drop_prob == 0.0 or not training:
+        return x
+    keep = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
