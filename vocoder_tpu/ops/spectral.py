@@ -106,15 +106,22 @@ def mel_filterbank(
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_conv_basis(n_fft: int, win_length: int) -> np.ndarray:
+def _dft_conv_basis(n_fft: int, win_length: int, window: str = "hann") -> np.ndarray:
     """Windowed forward-DFT basis as a conv kernel, shape (n_fft, 1, 2*bins).
 
     Output channels are [cos * win | -sin * win], so a stride-`hop` VALID conv
     yields interleaved (re, im) STFT coefficients.  The window is centre-padded
-    to n_fft when win_length < n_fft, matching torch.stft.
+    to n_fft when win_length < n_fft, matching torch.stft.  ``window="boxcar"``
+    reproduces torch.stft called WITHOUT a window argument (rectangular ones),
+    which is what the MRD discriminator does (mrd.py:62-69).
     """
     bins = n_fft // 2 + 1
-    win = hann_window(win_length).astype(np.float64)
+    if window == "hann":
+        win = hann_window(win_length).astype(np.float64)
+    elif window == "boxcar":
+        win = np.ones(win_length, dtype=np.float64)
+    else:
+        raise ValueError(f"unknown window {window!r}")
     if win_length < n_fft:
         left = (n_fft - win_length) // 2
         w = np.zeros(n_fft, dtype=np.float64)
@@ -170,11 +177,12 @@ def stft_reim(
     hop_length: int,
     win_length: int,
     padding: str = "same_win",
+    window: str = "hann",
     precision=lax.Precision.HIGHEST,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Real/imag STFT of (B, T) audio -> two (B, bins, frames) arrays."""
     x = _pad_signal(x, padding, n_fft, hop_length, win_length)
-    basis = jnp.asarray(_dft_conv_basis(n_fft, win_length))
+    basis = jnp.asarray(_dft_conv_basis(n_fft, win_length, window))
     out = lax.conv_general_dilated(
         x[..., None],  # (B, T, 1)
         basis,  # (n_fft, 1, 2*bins)
@@ -198,6 +206,7 @@ def stft_magnitude(
     win_length: int,
     padding: str = "same_win",
     mag_mode: str = "eps_inside",
+    window: str = "hann",
     precision=lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Magnitude STFT of (B, T) audio -> (B, bins, frames)."""
@@ -207,6 +216,7 @@ def stft_magnitude(
         hop_length=hop_length,
         win_length=win_length,
         padding=padding,
+        window=window,
         precision=precision,
     )
     power = re * re + im * im
