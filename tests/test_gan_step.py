@@ -1,0 +1,125 @@
+"""The fused GAN train step: shapes, updates, and overfit-decreases-loss.
+
+This is the integration test SURVEY.md §4 calls for (the reference has no
+tests): one utterance, tiny model, assert the validation mel-L1 drops.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocoder_tpu.models import hifigan, mpd, mrd
+from vocoder_tpu.train import gan
+from vocoder_tpu.train.schedule import WarmupCosineConfig
+
+
+def tiny_cfg(crop=True):
+    hop = 4
+    return gan.GANTaskConfig(
+        sampling_rate=8000,
+        n_fft=16,
+        hop_length=hop,
+        win_length=16,
+        num_mels=8,
+        generator_name="hifigan",
+        generator=hifigan.HiFiGANConfig(
+            hop_length=hop,
+            upsample_rates=(2, 2),
+            upsample_kernel_sizes=(4, 4),
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 2),),
+            num_mels=8,
+            upsample_initial_channel=16,
+        ),
+        mpd=mpd.MPDConfig(periods=(2, 3), channels=(1, 4, 8)),
+        mrd=mrd.MRDConfig(resolutions=((16, 4, 16), (32, 8, 32))),
+        stft_resolutions=((16, 4, 16), (32, 8, 32)),
+        num_frames=32,
+        crop_length=hop * 8 if crop else None,
+        schedule=WarmupCosineConfig(val_base=2e-4, max_decay_steps=1000),
+    )
+
+
+def test_train_step_runs_and_updates_both_optimizers():
+    cfg = tiny_cfg()
+    state = gan.create_train_state(jax.random.key(0), cfg)
+    step = jax.jit(gan.make_train_step(cfg))
+
+    t = cfg.hop_length * cfg.num_frames
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((2, 1, t)) * 0.3, jnp.float32),
+        "lengths": jnp.asarray([t, t - 17]),
+    }
+    g0 = state.gen_params
+    d0 = state.disc_params
+    state, metrics = step(state, batch)
+    assert int(state.step) == 1
+    for k in [
+        "train/generator/all",
+        "train/generator/stft",
+        "train/generator/mel",
+        "train/generator/adv_mpd",
+        "train/generator/adv_fm_mrd",
+        "train/generator/grad_norm",
+        "train/discriminator/all",
+        "train/discriminator/mpd",
+        "train/discriminator/mrd",
+        "train/discriminator/grad_norm_mpd",
+        "lr",
+    ]:
+        assert k in metrics, k
+        assert np.isfinite(float(metrics[k])), k
+
+    # Both parameter sets changed.
+    def _delta(a, b):
+        return sum(float(jnp.abs(x - y).sum()) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    assert _delta(g0, state.gen_params) > 0
+    assert _delta(d0, state.disc_params) > 0
+
+
+def test_overfit_single_utterance_mel_decreases():
+    cfg = tiny_cfg(crop=False)
+    state = gan.create_train_state(jax.random.key(1), cfg)
+    step = jax.jit(gan.make_train_step(cfg))
+    eval_step = jax.jit(gan.make_eval_step(cfg))
+
+    t = cfg.hop_length * cfg.num_frames
+    rng = np.random.default_rng(1)
+    # A soft periodic target is learnable quickly.
+    tt = np.arange(t) / cfg.sampling_rate
+    wave = 0.5 * np.sin(2 * np.pi * 220 * tt) + 0.1 * rng.standard_normal(t)
+    batch = {
+        "audio": jnp.asarray(wave, jnp.float32)[None, None, :],
+        "lengths": jnp.asarray([t]),
+    }
+
+    first, _ = eval_step(state, batch)
+    for _ in range(40):
+        state, _ = step(state, batch)
+    last, _ = eval_step(state, batch)
+    assert float(last["val/metrics/mel"]) < float(first["val/metrics/mel"]), (
+        float(first["val/metrics/mel"]),
+        float(last["val/metrics/mel"]),
+    )
+
+
+def test_lr_schedule_matches_reference_formula():
+    import math
+
+    from vocoder_tpu.train.schedule import warmup_cosine
+
+    cfg = WarmupCosineConfig(val_base=1e-4, val_final=0.0, max_decay_steps=100, warm_up_steps=10, val_start=1e-6)
+
+    def ref(n):
+        # LambdaWarmUpCosineScheduler.schedule (warmup_cosine.py:37-53)
+        if n < cfg.warm_up_steps:
+            return (cfg.val_base - cfg.val_start) / cfg.warm_up_steps * n + cfg.val_start
+        t = (n - cfg.warm_up_steps) / (cfg.max_decay_steps - cfg.warm_up_steps)
+        t = min(t, 1.0)
+        return cfg.val_final + 0.5 * (cfg.val_base - cfg.val_final) * (1 + math.cos(t * math.pi))
+
+    for n in [0, 1, 5, 9, 10, 11, 50, 99, 100, 150]:
+        got = float(warmup_cosine(jnp.asarray(n), cfg))
+        np.testing.assert_allclose(got, ref(n), rtol=1e-5, atol=1e-10)

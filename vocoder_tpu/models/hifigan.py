@@ -117,7 +117,15 @@ def init(key, cfg: HiFiGANConfig) -> dict:
     return params
 
 
-def apply(params: dict, mel: jnp.ndarray, cfg: HiFiGANConfig, template: jnp.ndarray | None = None) -> jnp.ndarray:
+def apply(
+    params: dict,
+    mel: jnp.ndarray,
+    cfg: HiFiGANConfig,
+    template: jnp.ndarray | None = None,
+    *,
+    training: bool = False,
+    rng=None,
+) -> jnp.ndarray:
     """mel (B, num_mels, T) [+ template (B, 1, T*hop)] -> audio (B, 1, T*hop)."""
     x = jnp.transpose(mel, (0, 2, 1))  # -> (B, T, C)
     x = nn.conv1d(params["conv_pre"], x, padding=nn.get_padding(cfg.pre_conv_kernel_size))

@@ -1,0 +1,286 @@
+"""The GAN training algorithm as ONE fused jit program.
+
+Capability parity with /root/reference/fish_vocoder/models/gan.py:13-318
+(GANModel with manual optimization): per step, the generator loss
+``base + 2.5*(SC + mag MR-STFT) + 45*mel-L1 + mean_over_discs(LSGAN adv + FM)``
+is computed with an on-device log-mel input transform, the generator is
+updated (AdamW(0.8, 0.99, eps=1e-6) + warmup-cosine), then the discriminator
+ensemble is updated on the SAME random crop with the fake audio
+stop-gradient'ed, matching the reference's G-then-D ordering
+(gan.py:234-280).  The crop-to-hop*32 trick before the discriminators
+(gan.py:130-137) is a static-shape lax.dynamic_slice.
+
+TPU-first: no host sync anywhere — the LR schedule, PRNG threading, random
+crop, both optimizer updates and all metrics live inside the single jitted
+step; the TrainState is donated so parameters update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from vocoder_tpu.losses import (
+    discriminator_loss,
+    feature_matching_loss,
+    generator_adversarial_loss,
+    multi_resolution_stft_loss,
+)
+from vocoder_tpu.models import mpd, mrd
+from vocoder_tpu.models.registry import get_generator
+from vocoder_tpu.ops import linear_spectrogram, log_mel_spectrogram
+from vocoder_tpu.train.schedule import WarmupCosineConfig, warmup_cosine
+
+DEFAULT_RESOLUTIONS = ((2048, 512, 2048), (1024, 120, 600), (2048, 240, 1200), (4096, 480, 2400), (512, 50, 240))
+
+
+@dataclasses.dataclass(frozen=True)
+class GANTaskConfig:
+    """Mirrors configs/model/gan.yaml composed with a resolution preset."""
+
+    sampling_rate: int = 44100
+    n_fft: int = 2048
+    hop_length: int = 512
+    win_length: int = 2048
+    num_mels: int = 128
+
+    generator_name: str = "hifigan"
+    generator: Any = None  # generator config dataclass (frozen, hashable)
+
+    mpd: mpd.MPDConfig = mpd.MPDConfig(periods=(3, 5, 7, 11, 17, 23, 37))
+    mrd: mrd.MRDConfig = mrd.MRDConfig(resolutions=DEFAULT_RESOLUTIONS)
+    stft_resolutions: tuple = DEFAULT_RESOLUTIONS  # tied to MRD (gan.yaml:57)
+
+    num_frames: int = 128
+    crop_length: int | None = 512 * 32  # hop * 32 (gan.yaml:13)
+    input_transform: str = "mel"  # "mel" | "linear" (VAE) | "none" (VQVAE)
+
+    schedule: WarmupCosineConfig = WarmupCosineConfig()
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+    adam_eps: float = 1e-6
+    weight_decay: float = 0.01  # torch AdamW default
+
+    stft_weight: float = 2.5
+    mel_weight: float = 45.0
+
+    def replace(self, **kw) -> "GANTaskConfig":
+        return dataclasses.replace(self, **kw)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    gen_params: Any
+    disc_params: Any  # {"mpd": ..., "mrd": ...}
+    opt_g: Any
+    opt_d: Any
+    rng: Any
+
+
+def make_optimizer(cfg: GANTaskConfig) -> optax.GradientTransformation:
+    return optax.adamw(
+        learning_rate=lambda count: warmup_cosine(count, cfg.schedule),
+        b1=cfg.adam_b1,
+        b2=cfg.adam_b2,
+        eps=cfg.adam_eps,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def create_train_state(key, cfg: GANTaskConfig) -> TrainState:
+    kg, kmpd, kmrd, krng = jax.random.split(key, 4)
+    gen = get_generator(cfg.generator_name)
+    gen_params = gen.init(kg, cfg.generator)
+    disc_params = {"mpd": mpd.init(kmpd, cfg.mpd), "mrd": mrd.init(kmrd, cfg.mrd)}
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        disc_params=disc_params,
+        opt_g=tx.init(gen_params),
+        opt_d=tx.init(disc_params),
+        rng=krng,
+    )
+
+
+def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
+    """(B,) -> (B, 1, T) float mask (utils/mask.py:4-10 + gan.py:238)."""
+    idx = jnp.arange(max_length)[None, :]
+    return (idx < lengths[:, None]).astype(jnp.float32)[:, None, :]
+
+
+def input_transform(cfg: GANTaskConfig, audio: jnp.ndarray) -> jnp.ndarray:
+    """audio (B, T) -> input features (B, C, frames); gan.py:284."""
+    if cfg.input_transform == "mel":
+        return log_mel_spectrogram(
+            audio,
+            sample_rate=cfg.sampling_rate,
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            win_length=cfg.win_length,
+            n_mels=cfg.num_mels,
+            f_max=cfg.sampling_rate // 2,
+        )
+    if cfg.input_transform == "linear":
+        return linear_spectrogram(audio, n_fft=cfg.n_fft, hop_length=cfg.hop_length, win_length=cfg.win_length)
+    raise ValueError(cfg.input_transform)
+
+
+def loss_mel_transform(cfg: GANTaskConfig, audio: jnp.ndarray) -> jnp.ndarray:
+    return log_mel_spectrogram(
+        audio,
+        sample_rate=cfg.sampling_rate,
+        n_fft=cfg.n_fft,
+        hop_length=cfg.hop_length,
+        win_length=cfg.win_length,
+        n_mels=cfg.num_mels,
+        f_max=cfg.sampling_rate // 2,
+    )
+
+
+def _discs_apply(disc_params: dict, audio: jnp.ndarray, cfg: GANTaskConfig) -> dict:
+    return {
+        "mpd": mpd.apply(disc_params["mpd"], audio, cfg.mpd),
+        "mrd": mrd.apply(disc_params["mrd"], audio, cfg.mrd),
+    }
+
+
+def generator_forward(
+    gen_params, audio: jnp.ndarray, cfg: GANTaskConfig, *, training: bool, rng=None, input_spec=None
+):
+    """GANModel.forward parity (gan.py:282-288): returns (fake_audio, base_loss)."""
+    gen = get_generator(cfg.generator_name)
+    if input_spec is None:
+        input_spec = input_transform(cfg, audio[:, 0, :])
+    fake = gen.apply(gen_params, input_spec, cfg.generator, training=training, rng=rng)
+    return fake, jnp.zeros(())
+
+
+def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rng):
+    r_crop, r_model = jax.random.split(rng)
+    fake, base_loss = generator_forward(gen_params, audio, cfg, training=True, rng=r_model)
+    assert fake.shape == audio.shape, (fake.shape, audio.shape)
+
+    audio_m = audio * mask
+    fake_m = fake * mask
+
+    sc_loss, mag_loss = multi_resolution_stft_loss(fake_m[:, 0], audio_m[:, 0], cfg.stft_resolutions)
+    loss_stft = sc_loss + mag_loss
+
+    audio_mel = loss_mel_transform(cfg, audio_m[:, 0])
+    fake_mel = loss_mel_transform(cfg, fake_m[:, 0])
+    loss_mel = jnp.mean(jnp.abs(audio_mel - fake_mel))
+
+    # Crop before the discriminators to bound their cost (gan.py:130-137).
+    t = audio.shape[2]
+    if cfg.crop_length is not None and t > cfg.crop_length:
+        start = jax.random.randint(r_crop, (), 0, t - cfg.crop_length)
+        audio_c = jax.lax.dynamic_slice_in_dim(audio_m, start, cfg.crop_length, axis=2)
+        fake_c = jax.lax.dynamic_slice_in_dim(fake_m, start, cfg.crop_length, axis=2)
+    else:
+        audio_c, fake_c = audio_m, fake_m
+
+    metrics = {}
+    loss_adv_all = 0.0
+    fake_outs = _discs_apply(disc_params, fake_c, cfg)
+    real_outs = _discs_apply(disc_params, audio_c, cfg)
+    for key in fake_outs:
+        score_fakes, feat_fake = fake_outs[key]
+        _, feat_real = real_outs[key]
+        loss_fake = generator_adversarial_loss(score_fakes)
+        loss_fm = feature_matching_loss(feat_real, feat_fake)
+        metrics[f"train/generator/adv_{key}"] = loss_fake
+        metrics[f"train/generator/adv_fm_{key}"] = loss_fm
+        loss_adv_all = loss_adv_all + loss_fake + loss_fm
+    loss_adv_all = loss_adv_all / len(fake_outs)
+
+    loss_gen_all = base_loss + loss_stft * cfg.stft_weight + loss_mel * cfg.mel_weight + loss_adv_all
+    metrics.update(
+        {
+            "train/generator/stft": loss_stft,
+            "train/generator/mel": loss_mel,
+            "train/generator/base": base_loss,
+            "train/generator/all": loss_gen_all,
+        }
+    )
+    return loss_gen_all, (metrics, audio_c, fake_c)
+
+
+def _discriminator_loss_fn(disc_params, audio_c, fake_c, cfg: GANTaskConfig):
+    real_outs = _discs_apply(disc_params, audio_c, cfg)
+    fake_outs = _discs_apply(disc_params, jax.lax.stop_gradient(fake_c), cfg)
+    metrics = {}
+    loss_all = 0.0
+    for key in real_outs:
+        scores, _ = real_outs[key]
+        score_fakes, _ = fake_outs[key]
+        loss = discriminator_loss(scores, score_fakes)
+        metrics[f"train/discriminator/{key}"] = loss
+        loss_all = loss_all + loss
+    loss_all = loss_all / len(real_outs)
+    metrics["train/discriminator/all"] = loss_all
+    return loss_all, metrics
+
+
+def make_train_step(cfg: GANTaskConfig):
+    """Build the fused G+D train step: (state, batch) -> (state, metrics)."""
+    tx = make_optimizer(cfg)
+
+    def step(state: TrainState, batch: dict):
+        audio, lengths = batch["audio"], batch["lengths"]
+        mask = sequence_mask(lengths, audio.shape[2])
+
+        rng, step_rng = jax.random.split(state.rng)
+
+        # ---- Generator phase (gan.py:240-255) ----
+        (loss_g, (g_metrics, audio_c, fake_c)), grads_g = jax.value_and_grad(
+            _generator_loss, has_aux=True
+        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng)
+        updates_g, opt_g = tx.update(grads_g, state.opt_g, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, updates_g)
+        g_metrics["train/generator/grad_norm"] = optax.global_norm(grads_g)
+
+        # ---- Discriminator phase (gan.py:257-275), fake from pre-update G ----
+        (loss_d, d_metrics), grads_d = jax.value_and_grad(_discriminator_loss_fn, has_aux=True)(
+            state.disc_params, audio_c, fake_c, cfg
+        )
+        updates_d, opt_d = tx.update(grads_d, state.opt_d, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, updates_d)
+        for key in grads_d:
+            d_metrics[f"train/discriminator/grad_norm_{key}"] = optax.global_norm(grads_d[key])
+
+        metrics = {**g_metrics, **d_metrics}
+        metrics["lr"] = warmup_cosine(state.step, cfg.schedule)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            disc_params=disc_params,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(cfg: GANTaskConfig):
+    """Validation: masked mel-L1 on the full clip (gan.py:290-315)."""
+
+    def step(state: TrainState, batch: dict):
+        audio, lengths = batch["audio"], batch["lengths"]
+        mask = sequence_mask(lengths, audio.shape[2])
+        fake, _ = generator_forward(state.gen_params, audio, cfg, training=False)
+        audio_m, fake_m = audio * mask, fake * mask
+        loss_mel = jnp.mean(
+            jnp.abs(loss_mel_transform(cfg, audio_m[:, 0]) - loss_mel_transform(cfg, fake_m[:, 0]))
+        )
+        return {"val/metrics/mel": loss_mel}, fake_m
+
+    return step
