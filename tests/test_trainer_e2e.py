@@ -1,0 +1,140 @@
+"""End-to-end: train loop + checkpoint/auto-resume + infer CLI + eval CLI."""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.test_gan_step import tiny_cfg
+from vocoder_tpu.config import DataConfig, RunConfig, TrainConfig, apply_overrides, build_task_config
+from vocoder_tpu.data.audio_io import write_wav
+
+
+@pytest.fixture()
+def wav_dir(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    sr = 8000
+    for i in range(4):
+        t = np.arange(sr // 2)
+        wave = 0.4 * np.sin(2 * np.pi * (150 + 60 * i) * t / sr) + 0.05 * rng.standard_normal(len(t))
+        write_wav(d / f"c{i}.wav", wave.astype(np.float32), sr)
+    return d
+
+
+def _train_cfg(wav_dir, workdir, max_steps=4):
+    task = tiny_cfg(crop=False)
+    return TrainConfig(
+        task=task,
+        data=DataConfig(
+            train_roots=(str(wav_dir),),
+            train_probs=(1.0,),
+            val_root=str(wav_dir),
+            batch_size=2,
+            val_batch_size=2,
+            val_crop_frames=16,
+        ),
+        run=RunConfig(
+            max_steps=max_steps,
+            val_interval=2,
+            ckpt_interval=2,
+            log_interval=1,
+            data_parallel=2,
+            workdir=str(workdir),
+        ),
+    )
+
+
+def test_train_loop_checkpoints_and_resumes(wav_dir, tmp_path):
+    from vocoder_tpu.train.trainer import train
+
+    workdir = tmp_path / "run"
+    cfg = _train_cfg(wav_dir, workdir, max_steps=3)
+    state = train(cfg)
+    assert int(state.step) == 3
+    assert (workdir / "metrics.jsonl").exists()
+    lines = [json.loads(line) for line in (workdir / "metrics.jsonl").read_text().splitlines()]
+    assert any("train/generator/all" in rec for rec in lines)
+    assert any("val/metrics/mel" in rec for rec in lines)
+
+    # Auto-resume continues from the saved step.
+    cfg2 = _train_cfg(wav_dir, workdir, max_steps=5)
+    state2 = train(cfg2)
+    assert int(state2.step) == 5
+
+
+def test_infer_cli_roundtrip(wav_dir, tmp_path):
+    from vocoder_tpu.train.trainer import train
+
+    workdir = tmp_path / "run"
+    cfg = _train_cfg(wav_dir, workdir, max_steps=1)
+    train(cfg)
+
+    # Monkeypatch the task config used by the CLI to the tiny one.
+    import vocoder_tpu.cli.infer as infer_cli
+
+    tiny = cfg.task
+    orig = infer_cli.build_task_config
+    infer_cli.build_task_config = lambda *a, **k: tiny
+    try:
+        out_dir = tmp_path / "out"
+        infer_cli.main(
+            [
+                "--model",
+                "hifigan",
+                "--ckpt",
+                str(workdir / "checkpoints"),
+                "--input",
+                str(wav_dir),
+                "--output",
+                str(out_dir),
+            ]
+        )
+        outs = sorted(out_dir.glob("*.wav"))
+        assert len(outs) == 4
+        from vocoder_tpu.data.audio_io import read_wav
+
+        audio, sr = read_wav(outs[0])
+        assert sr == tiny.sampling_rate
+        assert audio.shape[-1] > 0
+    finally:
+        infer_cli.build_task_config = orig
+
+
+def test_evaluate_cli(wav_dir, tmp_path):
+    from vocoder_tpu.cli.evaluate import main as eval_main
+
+    # Self-comparison: spec_diff must be ~0.
+    scores = eval_main([str(wav_dir), str(wav_dir), "--sr", "8000", "--is-instrumental"])
+    assert "spec_diff" in scores
+    assert scores["spec_diff"] < 1e-5
+
+
+def test_config_overrides():
+    cfg = TrainConfig(task=build_task_config("hifigan"))
+    cfg = apply_overrides(
+        cfg,
+        [
+            "run.max_steps=123",
+            "data.batch_size=4",
+            "task.mel_weight=10.0",
+            "task.generator.upsample_initial_channel=256",
+        ],
+    )
+    assert cfg.run.max_steps == 123
+    assert cfg.data.batch_size == 4
+    assert cfg.task.mel_weight == 10.0
+    assert cfg.task.generator.upsample_initial_channel == 256
+
+
+def test_build_task_config_presets():
+    for model in ["hifigan", "vocos", "vocos_huge"]:
+        task = build_task_config(model, "44100_512_2048")
+        assert task.hop_length == 512
+        assert task.stft_resolutions[0] == (2048, 512, 2048)
+    t24 = build_task_config("hifigan", "24000_256_1024")
+    assert t24.sampling_rate == 24000 and t24.num_mels == 100
+    assert dataclasses.is_dataclass(t24.generator)

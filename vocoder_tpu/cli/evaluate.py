@@ -1,0 +1,96 @@
+"""Offline evaluation CLI: pairwise metrics between source and generated dirs.
+
+The analogue of fish_vocoder/eval.py:44-97: mel-L1 ("spec_diff") with the
+fixed 24 kHz / 1024-fft / 256-hop / 128-mel analyzer, plus PESQ-NB (8 kHz)
+and PESQ-WB (16 kHz) when the ITU-T P.862 C extension (`pesq`) is importable
+— it is a host-side perceptual metric, not a TPU op (SURVEY.md §2.9), and is
+gated cleanly when absent.
+
+    python -m vocoder_tpu.cli.evaluate SOURCE_DIR GENERATED_DIR --sr 24000
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections import defaultdict
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from vocoder_tpu.data.audio_io import read_wav
+from vocoder_tpu.data.resample import resample
+from vocoder_tpu.ops import log_mel_spectrogram
+
+try:
+    from pesq import pesq as _pesq  # optional C extension
+
+    HAVE_PESQ = True
+except ImportError:
+    HAVE_PESQ = False
+
+
+def spec_difference(source: np.ndarray, generated: np.ndarray, sr: int) -> float:
+    """mel-L1 with the eval.py:55 analyzer (sr, 1024 fft, 1024 win, 256 hop, 128 mel)."""
+    kw = dict(sample_rate=sr, n_fft=1024, win_length=1024, hop_length=256, n_mels=128)
+    a = log_mel_spectrogram(jnp.asarray(source[None]), **kw)
+    b = log_mel_spectrogram(jnp.asarray(generated[None]), **kw)
+    return float(jnp.mean(jnp.abs(a - b)))
+
+
+def pesq_score(target: np.ndarray, preds: np.ndarray, sr: int, mode: str) -> float:
+    rate = 8000 if mode == "nb" else 16000
+    t = resample(target, sr, rate)
+    p = resample(preds, sr, rate)
+    return float(_pesq(rate, t, p, mode))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Offline vocoder evaluation")
+    ap.add_argument("source")
+    ap.add_argument("generated")
+    ap.add_argument("--sr", type=int, default=24000)
+    ap.add_argument("--glob-pattern", default="*.wav")
+    ap.add_argument("--is-vocal", action="store_true", default=True)
+    ap.add_argument("--is-instrumental", dest="is_vocal", action="store_false")
+    args = ap.parse_args(argv)
+
+    source, generated = Path(args.source), Path(args.generated)
+    assert source.is_dir() and generated.is_dir()
+    files = sorted(source.rglob(args.glob_pattern))
+    scores = defaultdict(list)
+
+    for f in files:
+        g = generated / f.relative_to(source)
+        if not g.exists():
+            g = g.with_suffix(".flac")
+        if not g.exists():
+            print(f"{g} does not exist")
+            continue
+        s_audio, s_sr = read_wav(f)
+        g_audio, g_sr = read_wav(g)
+        s = resample(s_audio.mean(0), s_sr, args.sr)
+        p = resample(g_audio.mean(0), g_sr, args.sr)
+        n = min(len(s), len(p))
+        assert max(len(s) - n, len(p) - n) < 1000
+        s, p = s[:n], p[:n]
+
+        try:
+            if args.is_vocal and HAVE_PESQ:
+                scores["pesq_nb"].append(pesq_score(s, p, args.sr, "nb"))
+                scores["pesq_wb"].append(pesq_score(s, p, args.sr, "wb"))
+            scores["spec_diff"].append(spec_difference(s, p, args.sr))
+        except Exception:
+            print(f"Error processing {f}")
+            continue
+
+    if args.is_vocal and not HAVE_PESQ:
+        print("note: `pesq` C extension not installed; PESQ metrics skipped")
+    print("Average scores:")
+    for k, v in scores.items():
+        print(f"    {k}: {np.mean(v):.4f}")
+    return {k: float(np.mean(v)) for k, v in scores.items()}
+
+
+if __name__ == "__main__":
+    main()

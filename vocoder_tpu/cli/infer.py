@@ -1,0 +1,122 @@
+"""Inference CLI: mel/audio -> waveform.
+
+The analogue of fish_vocoder/test.py:27-100: load a checkpoint (this
+framework's Orbax checkpoints OR a reference torch .ckpt via the converter —
+drop-in migration), fold weight norm, then for each input file (.wav audio,
+or precomputed .npy/.pt mel) synthesise and write a wav.
+
+    python -m vocoder_tpu.cli.infer --model hifigan --resolution 44100_512_2048 \
+        --ckpt logs/train/checkpoints --input in_dir --output out_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocoder_tpu import nn
+from vocoder_tpu.config import build_task_config
+from vocoder_tpu.data.audio_io import AUDIO_EXTENSIONS, read_wav, write_wav
+from vocoder_tpu.data.resample import resample
+from vocoder_tpu.models.registry import get_generator
+from vocoder_tpu.train import gan
+from vocoder_tpu.utils.logging import log
+
+
+def load_generator_params(ckpt_path: str, task_cfg, fold: bool = True):
+    """Load generator params from Orbax (dir) or a torch checkpoint (file)."""
+    path = Path(ckpt_path)
+    gen = get_generator(task_cfg.generator_name)
+    if path.is_file() and path.suffix in (".ckpt", ".pt", ".pth", ".bin"):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+        assert gen.from_torch is not None, f"no torch converter for {task_cfg.generator_name}"
+        params = gen.from_torch(sd, task_cfg.generator, prefix="generator.")
+    else:
+        from vocoder_tpu.utils.checkpoint import CheckpointManager, abstract_like
+
+        mgr = CheckpointManager(path)
+        state = gan.create_train_state(jax.random.key(0), task_cfg)
+        state = mgr.restore(abstract_like(state))
+        params = state.gen_params
+    if fold:
+        params = nn.fold_weight_norm(params)
+    return params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Vocoder inference")
+    ap.add_argument("--model", default="hifigan")
+    ap.add_argument("--resolution", default="44100_512_2048")
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--input", required=True, help="audio/mel file or directory")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--pitch-shift", type=float, default=0.0)
+    args = ap.parse_args(argv)
+
+    task = build_task_config(args.model, args.resolution)
+    gen = get_generator(task.generator_name)
+    params = load_generator_params(args.ckpt, task)
+
+    @jax.jit
+    def synthesize(mel):
+        return gen.apply(params, mel, task.generator)
+
+    @jax.jit
+    def featurize(audio):  # (B, T) -> (B, n_mels, frames)
+        return gan.input_transform(task, audio)
+
+    input_path = Path(args.input)
+    files = [input_path] if input_path.is_file() else sorted(input_path.rglob("*"))
+    out_root = Path(args.output)
+    in_root = input_path.parent if input_path.is_file() else input_path
+
+    for f in files:
+        suffix = f.suffix.lower()
+        if suffix in AUDIO_EXTENSIONS:
+            audio, sr = read_wav(f)
+            audio = audio.mean(axis=0, keepdims=True)
+            audio = resample(audio, sr, task.sampling_rate)
+            if args.pitch_shift:
+                ratio = 2 ** (args.pitch_shift / 12)
+                step = round(task.sampling_rate * ratio)
+                audio = resample(audio, step - step % 100, task.sampling_rate)
+            t = audio.shape[-1]
+            pad = (-t) % task.hop_length
+            audio = np.pad(audio, ((0, 0), (0, pad)))
+            mel = featurize(jnp.asarray(audio))
+        elif suffix in (".npy", ".pt", ".pth"):
+            if suffix == ".npy":
+                mel_np = np.load(f)
+            else:
+                import torch
+
+                mel_np = torch.load(f, map_location="cpu").float().numpy()
+            if mel_np.ndim == 2:
+                mel_np = mel_np[None]
+            if mel_np.shape[-1] == task.num_mels:  # auto-transpose (test.py:82-84)
+                mel_np = mel_np.transpose(0, 2, 1)
+            mel = jnp.asarray(mel_np, jnp.float32)
+        else:
+            continue
+
+        start = time.time()
+        fake = np.asarray(synthesize(mel))  # (B, 1, T)
+        dur = fake.shape[-1] / task.sampling_rate
+        log(f"{f.name}: {dur:.2f}s audio in {time.time() - start:.2f}s")
+
+        out_path = out_root / f.relative_to(in_root).with_suffix(".wav")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(out_path, fake[:, 0, :], task.sampling_rate)
+        log(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Typed configuration system.
+
+The functional analogue of the reference's Hydra composition tree
+(fish_vocoder/configs/**, SURVEY.md §5.6): the same group axes — resolution x
+generator x model-family x data — as typed Python presets with dotted-path
+CLI overrides (``key.sub=value``), replacing ``${...}`` interpolation with
+plain construction-time wiring.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from typing import Any
+
+from vocoder_tpu.models import convnext, hifigan, mpd, mrd, vocos
+from vocoder_tpu.train.gan import GANTaskConfig
+from vocoder_tpu.train.schedule import WarmupCosineConfig
+
+# --------------------------------------------------------------------------
+# Resolution presets (configs/model/resolution/*.yaml)
+# --------------------------------------------------------------------------
+
+RESOLUTIONS: dict[str, dict] = {
+    "44100_512_2048": dict(sampling_rate=44100, num_mels=128, n_fft=2048, hop_length=512, win_length=2048),
+    "24000_256_1024": dict(sampling_rate=24000, num_mels=100, n_fft=1024, hop_length=256, win_length=1024),
+    "24000_2048_3072": dict(sampling_rate=24000, num_mels=100, n_fft=3072, hop_length=2048, win_length=3072),
+}
+
+
+def _mrd_resolutions(res: dict) -> tuple:
+    # configs/model/gan.yaml:46-53: model resolution first, then fixed set.
+    return (
+        (res["n_fft"], res["hop_length"], res["win_length"]),
+        (1024, 120, 600),
+        (2048, 240, 1200),
+        (4096, 480, 2400),
+        (512, 50, 240),
+    )
+
+
+# --------------------------------------------------------------------------
+# Generator presets (configs/model/generator/*.yaml)
+# --------------------------------------------------------------------------
+
+
+# Upsample-rate factorizations per hop length (prod(rates) == hop asserted by
+# the generators, hifigan.py:154-156).  512 matches the shipped hifigan.yaml.
+_UPSAMPLE_PRESETS = {
+    512: ((8, 8, 2, 2, 2), (16, 16, 8, 2, 2)),
+    256: ((8, 8, 2, 2), (16, 16, 4, 4)),
+    2048: ((8, 8, 4, 4, 2), (16, 16, 8, 8, 4)),
+    640: ((8, 5, 4, 2, 2), (16, 10, 8, 4, 4)),  # hifigan-vae.yaml decoder
+}
+
+
+def upsample_rates_for_hop(hop: int) -> tuple[tuple, tuple]:
+    if hop in _UPSAMPLE_PRESETS:
+        return _UPSAMPLE_PRESETS[hop]
+    # Greedy factorization fallback: rates of 8/5/4/3/2, kernel = 2*rate.
+    rates = []
+    rem = hop
+    for f in (8, 5, 4, 3, 2):
+        while rem % f == 0 and rem > 1:
+            rates.append(f)
+            rem //= f
+    assert rem == 1, f"cannot factor hop {hop}"
+    return tuple(rates), tuple(2 * r for r in rates)
+
+
+def _gen_hifigan(res: dict):
+    rates, kernels = upsample_rates_for_hop(res["hop_length"])
+    return "hifigan", hifigan.HiFiGANConfig(
+        hop_length=res["hop_length"],
+        upsample_rates=rates,
+        upsample_kernel_sizes=kernels,
+        num_mels=res["num_mels"],
+        use_template=False,
+    )
+
+
+def _gen_vocos(res: dict):
+    return "vocos", vocos.VocosConfig.base(
+        num_mels=res["num_mels"], n_fft=res["n_fft"], hop_length=res["hop_length"], win_length=res["win_length"]
+    )
+
+
+def _gen_vocos_huge(res: dict):
+    return "vocos", vocos.VocosConfig.huge(
+        num_mels=res["num_mels"], n_fft=res["n_fft"], hop_length=res["hop_length"], win_length=res["win_length"]
+    )
+
+
+def _gen_bigvgan(res: dict):
+    from vocoder_tpu.models import bigvgan
+
+    rates, kernels = upsample_rates_for_hop(res["hop_length"])
+    return "bigvgan", bigvgan.BigVGANConfig(
+        hop_length=res["hop_length"],
+        upsample_rates=rates,
+        upsample_kernel_sizes=kernels,
+        num_mels=res["num_mels"],
+        use_template=False,
+    )
+
+
+def _gen_refinegan(res: dict):
+    from vocoder_tpu.models import refinegan
+
+    return "refinegan", refinegan.RefineGANConfig(
+        sampling_rate=res["sampling_rate"], hop_length=res["hop_length"], num_mels=res["num_mels"]
+    )
+
+
+def _gen_firefly(res: dict):
+    # configs/model/generator/firefly-gan-base.yaml: ConvNeXt backbone +
+    # HiFiGAN head via the Unify composition.
+    from vocoder_tpu.models import firefly
+
+    return "firefly_gan_base", firefly.FireflyConfig(
+        backbone=convnext.ConvNeXtConfig(
+            input_channels=res["num_mels"], depths=(3, 3, 9, 3), dims=(128, 256, 384, 512), drop_path_rate=0.2
+        ),
+        head=hifigan.HiFiGANConfig(
+            hop_length=res["hop_length"],
+            upsample_rates=(8, 8, 2, 2, 2),
+            upsample_kernel_sizes=(16, 16, 4, 4, 4),
+            num_mels=512,
+            upsample_initial_channel=512,
+            use_template=False,
+            pre_conv_kernel_size=13,
+            post_conv_kernel_size=13,
+        ),
+    )
+
+
+GENERATOR_PRESETS = {
+    "hifigan": _gen_hifigan,
+    "vocos": _gen_vocos,
+    "vocos_huge": _gen_vocos_huge,
+    "bigvgan": _gen_bigvgan,
+    "refinegan": _gen_refinegan,
+    "firefly_gan_base": _gen_firefly,
+}
+
+
+# --------------------------------------------------------------------------
+# Data / run configs
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """configs/data/vocoder.yaml analogue."""
+
+    train_roots: tuple = ()  # (path, prob) pairs or bare paths
+    train_probs: tuple = ()
+    val_root: str | None = None
+    batch_size: int = 16
+    val_batch_size: int = 2
+    val_crop_frames: int = 1000
+    num_workers: int = 1  # prefetch threads
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """trainer/default.yaml + callbacks/default.yaml analogue."""
+
+    max_steps: int = 10_000_000
+    val_interval: int = 5000
+    ckpt_interval: int = 20_000
+    log_interval: int = 100
+    seed: int = 594461
+    model_parallel: int = 1
+    data_parallel: int | None = None  # None -> n_devices // model_parallel
+    precision: str = "highest"  # "highest" (fp32 parity) | "default" (fast)
+    ckpt_path: str | None = None
+    resume_weights_only: bool = False
+    workdir: str = "logs/train"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    task: GANTaskConfig
+    data: DataConfig = DataConfig()
+    run: RunConfig = RunConfig()
+
+
+def build_task_config(model: str = "hifigan", resolution: str = "44100_512_2048", family: str = "gan") -> GANTaskConfig:
+    res = RESOLUTIONS[resolution]
+    gen_name, gen_cfg = GENERATOR_PRESETS[model](res)
+    mrd_res = _mrd_resolutions(res)
+    return GANTaskConfig(
+        sampling_rate=res["sampling_rate"],
+        n_fft=res["n_fft"],
+        hop_length=res["hop_length"],
+        win_length=res["win_length"],
+        num_mels=res["num_mels"],
+        generator_name=gen_name,
+        generator=gen_cfg,
+        mpd=mpd.MPDConfig(periods=(3, 5, 7, 11, 17, 23, 37)),
+        mrd=mrd.MRDConfig(resolutions=mrd_res),
+        stft_resolutions=mrd_res,
+        num_frames=128,
+        crop_length=res["hop_length"] * 32,
+        input_transform="mel" if family == "gan" else ("linear" if family == "vae" else "none"),
+        schedule=WarmupCosineConfig(val_base=1e-4, val_final=0.0, max_decay_steps=5_000_000),
+    )
+
+
+def build_train_config(model="hifigan", resolution="44100_512_2048", family="gan", overrides=()) -> TrainConfig:
+    cfg = TrainConfig(task=build_task_config(model, resolution, family))
+    return apply_overrides(cfg, overrides)
+
+
+# --------------------------------------------------------------------------
+# Dotted overrides ("a.b.c=value")
+# --------------------------------------------------------------------------
+
+
+def _parse_value(s: str) -> Any:
+    try:
+        return ast.literal_eval(s)
+    except (ValueError, SyntaxError):
+        return s
+
+
+def _replace_path(obj, path: list[str], value):
+    if not path:
+        return value
+    head, rest = path[0], path[1:]
+    if dataclasses.is_dataclass(obj):
+        cur = getattr(obj, head)
+        return dataclasses.replace(obj, **{head: _replace_path(cur, rest, value)})
+    if isinstance(obj, dict):
+        new = dict(obj)
+        new[head] = _replace_path(obj[head], rest, value)
+        return new
+    raise TypeError(f"cannot descend into {type(obj)} at {head}")
+
+
+def apply_overrides(cfg, overrides) -> Any:
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        assert _ == "=", f"override must be key=value, got {ov!r}"
+        cfg = _replace_path(cfg, key.split("."), _parse_value(raw))
+    return cfg

@@ -125,10 +125,13 @@ class DevicePrefetcher:
             return {k: jax.device_put(v) for k, v in batch.items()}
 
         def worker():
-            for batch in self._iterator:
-                if self._stop.is_set():
-                    return
-                self._queue.put(put(batch))
+            try:
+                for batch in self._iterator:
+                    if self._stop.is_set():
+                        return
+                    self._queue.put(put(batch))
+            except BaseException as e:  # surface errors to the consumer
+                self._queue.put(e)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -137,7 +140,10 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
-        return self._queue.get()
+        item = self._queue.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
 
     def close(self):
         self._stop.set()

@@ -1,0 +1,171 @@
+"""Training loop: explicit jit-compiled step loop (no framework inversion).
+
+The reference inverts control into Lightning's Trainer (SURVEY.md §1); here
+the loop is ~100 lines of explicit code: sharded data prefetch, one donated
+jit train step, rank-zero logging, periodic validation (every 5000 steps) and
+Orbax checkpointing (every 20000 steps, keep all) with auto-resume — the same
+cadence as configs/trainer/default.yaml:16 + callbacks/default.yaml:8-17.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from vocoder_tpu import nn
+from vocoder_tpu.config import TrainConfig
+from vocoder_tpu.data import transforms as T
+from vocoder_tpu.data.dataset import DevicePrefetcher, MixDataset, VocoderDataset, batch_iterator
+from vocoder_tpu.parallel import batch_sharding, make_mesh, shard_train_state
+from vocoder_tpu.train import gan
+from vocoder_tpu.utils.checkpoint import CheckpointManager, abstract_like
+from vocoder_tpu.utils.logging import MetricsLogger, log
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host init (jax.distributed): the NCCL/DDP analogue, SURVEY.md §5.8."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def _build_train_sampler(cfg: TrainConfig):
+    task = cfg.task
+    tr = T.train_transform(task.sampling_rate, task.hop_length, task.num_frames)
+    roots = list(cfg.data.train_roots)
+    probs = list(cfg.data.train_probs) or [1.0] * len(roots)
+    assert roots, "data.train_roots must be set"
+    datasets = [VocoderDataset(root=r, transform=tr) for r in roots]
+    return MixDataset(datasets=datasets, probs=probs).sample
+
+
+def _build_val_batches(cfg: TrainConfig):
+    if cfg.data.val_root is None:
+        return None
+    task = cfg.task
+    tr = T.val_transform(task.sampling_rate, task.hop_length, cfg.data.val_crop_frames)
+    ds = VocoderDataset(root=cfg.data.val_root, transform=tr)
+    target = task.hop_length * cfg.data.val_crop_frames
+    rng = np.random.default_rng(cfg.run.seed)
+    batches = []
+    b = cfg.data.val_batch_size
+    for i in range(0, len(ds), b):
+        idxs = range(i, min(i + b, len(ds)))
+        audios, lengths = [], []
+        for j in idxs:
+            a = ds.get(rng, j)[:1]
+            t = a.shape[-1]
+            if t >= target:
+                a, t = a[..., :target], target
+            else:
+                a = np.pad(a, ((0, 0), (0, target - t)))
+            audios.append(a)
+            lengths.append(t)
+        while len(audios) < b:  # static batch shape
+            audios.append(np.zeros_like(audios[0]))
+            lengths.append(0)
+        batches.append(
+            {"audio": np.stack(audios).astype(np.float32), "lengths": np.asarray(lengths, np.int64)}
+        )
+    return batches
+
+
+def train(cfg: TrainConfig) -> gan.TrainState:
+    maybe_init_distributed()
+    if cfg.run.precision == "default":
+        nn.set_default_precision(lax.Precision.DEFAULT)
+
+    task = cfg.task
+    workdir = Path(cfg.run.workdir)
+    mesh = make_mesh(data=cfg.run.data_parallel, model=cfg.run.model_parallel)
+    dp = mesh.shape["data"]
+    local_bs_check = max(cfg.data.batch_size // jax.process_count(), 1)
+    assert local_bs_check % dp == 0, (
+        f"per-host batch {local_bs_check} must be divisible by the data axis {dp}; "
+        f"set run.data_parallel accordingly"
+    )
+    assert cfg.data.val_batch_size % dp == 0 or cfg.data.val_root is None, (
+        f"val batch {cfg.data.val_batch_size} must be divisible by the data axis {dp}"
+    )
+    log(f"mesh: data={dp} model={mesh.shape['model']}, devices={len(jax.devices())}")
+
+    metrics_logger = MetricsLogger(workdir)
+    ckpt = CheckpointManager(workdir / "checkpoints", save_interval_steps=cfg.run.ckpt_interval)
+
+    state = gan.create_train_state(jax.random.key(cfg.run.seed), task)
+
+    # Auto-resume (train.py:81-95 semantics).
+    start_step = 0
+    latest = ckpt.latest_step()
+    if cfg.run.ckpt_path is not None and cfg.run.resume_weights_only:
+        other = CheckpointManager(cfg.run.ckpt_path)
+        state = other.restore_weights_only(state)
+        log(f"resumed weights only from {cfg.run.ckpt_path}")
+    elif latest is not None:
+        state = ckpt.restore(abstract_like(state))
+        start_step = int(state.step)
+        log(f"auto-resumed from step {start_step}")
+
+    state = shard_train_state(state, mesh)
+
+    step_fn = jax.jit(gan.make_train_step(task), donate_argnums=0)
+    eval_fn = jax.jit(gan.make_eval_step(task))
+
+    sample_fn = _build_train_sampler(cfg)
+    target_len = task.hop_length * task.num_frames
+    local_bs = max(cfg.data.batch_size // jax.process_count(), 1)
+    host_it = batch_iterator(
+        sample_fn,
+        batch_size=local_bs,
+        target_length=target_len,
+        seed=cfg.run.seed,
+        host_index=jax.process_index(),
+        start_step=start_step,
+    )
+    prefetcher = DevicePrefetcher(host_it, sharding=batch_sharding(mesh), depth=2)
+    val_batches = _build_val_batches(cfg)
+
+    log(f"starting training at step {start_step} / {cfg.run.max_steps}")
+    t0 = time.perf_counter()
+    window = max(cfg.run.log_interval, 1)
+    for step in range(start_step, cfg.run.max_steps):
+        batch = next(prefetcher)
+        state, metrics = step_fn(state, batch)
+
+        if (step + 1) % window == 0:
+            jax.block_until_ready(metrics)
+            dt = time.perf_counter() - t0
+            sps = window / dt
+            audio_s = local_bs * jax.process_count() * target_len / task.sampling_rate
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars["perf/steps_per_s"] = sps
+            scalars["perf/audio_s_per_s"] = sps * audio_s
+            metrics_logger.write(step + 1, scalars)
+            log(
+                f"step {step + 1}: g={scalars['train/generator/all']:.3f} "
+                f"d={scalars['train/discriminator/all']:.3f} mel={scalars['train/generator/mel']:.3f} "
+                f"({sps:.2f} steps/s, {scalars['perf/audio_s_per_s']:.1f} audio-s/s)"
+            )
+            t0 = time.perf_counter()
+
+        if val_batches and (step + 1) % cfg.run.val_interval == 0:
+            mels = []
+            for vb in val_batches:
+                vmetrics, _ = eval_fn(state, vb)
+                mels.append(float(vmetrics["val/metrics/mel"]))
+            metrics_logger.write(step + 1, {"val/metrics/mel": float(np.mean(mels))})
+            log(f"step {step + 1}: val mel-L1 {np.mean(mels):.4f}")
+
+        ckpt.save(int(state.step), state)
+
+    if ckpt.latest_step() != int(state.step):
+        ckpt.save(int(state.step), state, force=True)
+    ckpt.wait()
+    prefetcher.close()
+    metrics_logger.close()
+    return state

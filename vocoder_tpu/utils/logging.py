@@ -1,0 +1,66 @@
+"""Rank-zero logging: console + metrics.jsonl + optional TensorBoard.
+
+The analogue of the reference's loguru rank-zero wrapper + W&B/TensorBoard
+fan-out (utils/logger.py:6-15, configs/logger/*).  W&B needs network egress,
+so the durable record here is a metrics.jsonl stream (+ tensorboardX when
+available); both are rank-zero only.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def is_main_process() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def log(msg: str) -> None:
+    if is_main_process():
+        ts = time.strftime("%Y-%m-%d %H:%M:%S")
+        print(f"[{ts}] {msg}", file=sys.stderr, flush=True)
+
+
+class MetricsLogger:
+    def __init__(self, workdir: str | Path, use_tensorboard: bool = True):
+        self.main = is_main_process()
+        if not self.main:
+            self.jsonl = None
+            self.tb = None
+            return
+        workdir = Path(workdir)
+        workdir.mkdir(parents=True, exist_ok=True)
+        self.jsonl = open(workdir / "metrics.jsonl", "a")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(str(workdir / "tb"))
+            except Exception:
+                self.tb = None
+
+    def write(self, step: int, metrics: dict) -> None:
+        if not self.main:
+            return
+        scalars = {k: float(v) for k, v in metrics.items()}
+        self.jsonl.write(json.dumps({"step": step, **scalars}) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, v, step)
+
+    def add_audio(self, step: int, tag: str, audio, sample_rate: int) -> None:
+        if self.main and self.tb is not None:
+            self.tb.add_audio(tag, audio.reshape(-1, 1), step, sample_rate=sample_rate)
+
+    def close(self):
+        if self.jsonl is not None:
+            self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
