@@ -1,0 +1,202 @@
+"""BigVGAN generator, TPU-native.
+
+Capability parity with /root/reference/fish_vocoder/modules/generators/
+bigvgan.py:18-379: the HiFiGAN upsample skeleton with Snake/SnakeBeta
+periodic activations (x + (1/b)*sin^2(a*x), per-channel trainable, optional
+log-scale), every activation wrapped in anti-aliased 2x up/act/2x down FIRs
+(ops/antialias.py), AMP resblocks (6 convs + 6 anti-aliased activations), a
+per-(upsample, kernel) resblock grid averaged in forward, and the optional
+f0-template path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from math import prod
+
+import jax
+import jax.numpy as jnp
+
+from vocoder_tpu import nn
+from vocoder_tpu.convert import _np, conv1d_from_torch, conv_transpose1d_from_torch
+from vocoder_tpu.ops.antialias import downsample1d, upsample1d
+
+
+@dataclasses.dataclass(frozen=True)
+class BigVGANConfig:
+    hop_length: int = 512
+    upsample_rates: tuple = (8, 8, 2, 2, 2)
+    upsample_kernel_sizes: tuple = (16, 16, 8, 2, 2)
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 128
+    upsample_initial_channel: int = 512
+    activation: str = "snakebeta"  # "snake" | "snakebeta"
+    snake_logscale: bool = True
+    use_template: bool = False
+    pre_conv_kernel_size: int = 7
+    post_conv_kernel_size: int = 7
+    checkpointing: bool = False
+
+    def __post_init__(self):
+        assert prod(self.upsample_rates) == self.hop_length
+
+
+def _snake_init(channels: int, kind: str, logscale: bool) -> dict:
+    # log-scale -> zeros (exp() == 1), linear -> ones (bigvgan.py:51-54,110-115).
+    val = jnp.zeros if logscale else jnp.ones
+    p = {"alpha": val((channels,))}
+    if kind == "snakebeta":
+        p["beta"] = val((channels,))
+    return p
+
+
+def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
+    alpha = p["alpha"]
+    beta = p.get("beta", alpha)
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+
+
+def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
+    """Anti-aliased activation: 2x upsample -> snake -> 2x downsample."""
+    return downsample1d(_snake_apply(p, upsample1d(x, 2), logscale), 2)
+
+
+def _amp_init(key, channels: int, kernel_size: int, dilations: tuple, cfg: BigVGANConfig) -> dict:
+    keys = jax.random.split(key, 2 * len(dilations))
+    convs1 = [
+        nn.conv1d_init(keys[2 * i], channels, channels, kernel_size, weight_norm=True, init="normal")
+        for i in range(len(dilations))
+    ]
+    convs2 = [
+        nn.conv1d_init(keys[2 * i + 1], channels, channels, kernel_size, weight_norm=True, init="normal")
+        for i in range(len(dilations))
+    ]
+    acts = [_snake_init(channels, cfg.activation, cfg.snake_logscale) for _ in range(2 * len(dilations))]
+    return {"convs1": convs1, "convs2": convs2, "activations": acts}
+
+
+def _amp_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, cfg: BigVGANConfig) -> jnp.ndarray:
+    acts1 = p["activations"][::2]
+    acts2 = p["activations"][1::2]
+    for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
+        xt = _aa_snake(a1, x, cfg.snake_logscale)
+        xt = nn.conv1d(c1, xt, padding=nn.get_padding(kernel_size, d), dilation=d)
+        xt = _aa_snake(a2, xt, cfg.snake_logscale)
+        xt = nn.conv1d(c2, xt, padding=nn.get_padding(kernel_size))
+        x = xt + x
+    return x
+
+
+def init(key, cfg: BigVGANConfig) -> dict:
+    n_ups = len(cfg.upsample_rates)
+    n_k = len(cfg.resblock_kernel_sizes)
+    keys = jax.random.split(key, 3 + 2 * n_ups + n_ups * n_k)
+    it = iter(keys)
+
+    params: dict = {
+        "conv_pre": nn.conv1d_init(
+            next(it), cfg.num_mels, cfg.upsample_initial_channel, cfg.pre_conv_kernel_size, weight_norm=True
+        )
+    }
+    ups, noise_convs, resblocks = [], [], []
+    ch = cfg.upsample_initial_channel
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        c_in = cfg.upsample_initial_channel // (2**i)
+        c_cur = cfg.upsample_initial_channel // (2 ** (i + 1))
+        ups.append(nn.conv_transpose1d_init(next(it), c_in, c_cur, k, weight_norm=True, init="normal"))
+        if cfg.use_template:
+            if i + 1 < n_ups:
+                stride_f0 = prod(cfg.upsample_rates[i + 1 :])
+                noise_convs.append(nn.conv1d_init(next(it), 1, c_cur, stride_f0 * 2))
+            else:
+                noise_convs.append(nn.conv1d_init(next(it), 1, c_cur, 1))
+        for k_r, d_r in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            resblocks.append(_amp_init(next(it), c_cur, k_r, d_r, cfg))
+        ch = c_cur
+
+    params["ups"] = ups
+    if cfg.use_template:
+        params["noise_convs"] = noise_convs
+    params["resblocks"] = resblocks
+    params["post_act"] = _snake_init(ch, cfg.activation, True)  # alpha_logscale=True (bigvgan.py:335-337)
+    params["conv_post"] = nn.conv1d_init(next(it), ch, 1, cfg.post_conv_kernel_size, weight_norm=True, init="normal")
+    return params
+
+
+def apply(
+    params: dict,
+    mel: jnp.ndarray,
+    cfg: BigVGANConfig,
+    template: jnp.ndarray | None = None,
+    *,
+    training: bool = False,
+    rng=None,
+) -> jnp.ndarray:
+    """mel (B, num_mels, T) -> audio (B, 1, T*hop)."""
+    n_k = len(cfg.resblock_kernel_sizes)
+    x = jnp.transpose(mel, (0, 2, 1))
+    x = nn.conv1d(params["conv_pre"], x, padding=nn.get_padding(cfg.pre_conv_kernel_size))
+
+    if cfg.use_template:
+        template_t = jnp.transpose(template, (0, 2, 1))
+
+    amp = _amp_apply
+    if cfg.checkpointing:
+        amp = jax.checkpoint(_amp_apply, static_argnums=(2, 3, 4))
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        if cfg.use_template:
+            nc = params["noise_convs"][i]
+            if i + 1 < len(cfg.upsample_rates):
+                stride_f0 = prod(cfg.upsample_rates[i + 1 :])
+                noise = nn.conv1d(nc, template_t, stride=stride_f0, padding=stride_f0 // 2)
+            else:
+                noise = nn.conv1d(nc, template_t)
+            x = x + noise
+        outs = [
+            amp(params["resblocks"][i * n_k + j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], cfg)
+            for j in range(n_k)
+        ]
+        x = sum(outs) / n_k
+
+    x = _aa_snake(params["post_act"], x, True)
+    x = nn.conv1d(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size))
+    x = jnp.tanh(x)
+    return jnp.transpose(x, (0, 2, 1))
+
+
+def from_torch_state_dict(sd: dict, cfg: BigVGANConfig, prefix: str = "") -> dict:
+    p = prefix
+    n_ups = len(cfg.upsample_rates)
+    n_k = len(cfg.resblock_kernel_sizes)
+    params: dict = {"conv_pre": conv1d_from_torch(sd, f"{p}conv_pre")}
+    params["ups"] = [conv_transpose1d_from_torch(sd, f"{p}ups.{i}") for i in range(n_ups)]
+    if cfg.use_template:
+        params["noise_convs"] = [conv1d_from_torch(sd, f"{p}noise_convs.{i}") for i in range(n_ups)]
+    resblocks = []
+    for r in range(n_ups * n_k):
+        n_d = len(cfg.resblock_dilation_sizes[r % n_k])
+        block = {
+            "convs1": [conv1d_from_torch(sd, f"{p}resblocks.{r}.convs1.{l}") for l in range(n_d)],
+            "convs2": [conv1d_from_torch(sd, f"{p}resblocks.{r}.convs2.{l}") for l in range(n_d)],
+            "activations": [],
+        }
+        for a in range(2 * n_d):
+            act = {"alpha": _np(sd[f"{p}resblocks.{r}.activations.{a}.activation.alpha"])}
+            bkey = f"{p}resblocks.{r}.activations.{a}.activation.beta"
+            if bkey in sd:
+                act["beta"] = _np(sd[bkey])
+            block["activations"].append(act)
+        resblocks.append(block)
+    params["resblocks"] = resblocks
+    post = {"alpha": _np(sd[f"{p}activation_post.activation.alpha"])}
+    if f"{p}activation_post.activation.beta" in sd:
+        post["beta"] = _np(sd[f"{p}activation_post.activation.beta"])
+    params["post_act"] = post
+    params["conv_post"] = conv1d_from_torch(sd, f"{p}conv_post")
+    return jax.tree.map(jnp.asarray, params)
