@@ -186,10 +186,72 @@ class TrainConfig:
     run: RunConfig = RunConfig()
 
 
+def _vae_generator(res: dict):
+    """VAEModel composition (models/vae.py:7-48): ConvNeXt encoder over the
+    linear spectrogram emitting 2*latent channels; HiFiGAN decoder."""
+    from vocoder_tpu.models.vae import VAEGeneratorConfig
+
+    latent = 256  # configs/model/vae.yaml:8
+    bins = res["n_fft"] // 2 + 1
+    rates, kernels = upsample_rates_for_hop(res["hop_length"])
+    return VAEGeneratorConfig(
+        latent_size=latent,
+        encoder_kind="convnext",
+        encoder=convnext.ConvNeXtConfig(
+            input_channels=bins, depths=(3, 3, 9, 3), dims=(128, 256, 384, 2 * latent), drop_path_rate=0.2
+        ),
+        decoder=hifigan.HiFiGANConfig(
+            hop_length=res["hop_length"],
+            upsample_rates=rates,
+            upsample_kernel_sizes=kernels,
+            num_mels=latent,
+            upsample_initial_channel=512,
+            use_template=False,
+        ),
+    )
+
+
+def _vqvae_generator(res: dict):
+    """VQVAEModel composition (models/vae.py:51-109 + configs/model/vqvae.yaml):
+    WaveNet posterior encoder over the linear spectrogram, EMA-VQ, HiFiGAN decoder."""
+    from vocoder_tpu.models import vq as vq_mod, wavenet
+    from vocoder_tpu.models.vae import VQVAEGeneratorConfig
+
+    latent = 512  # vqvae.yaml:12
+    bins = res["n_fft"] // 2 + 1
+    rates, kernels = upsample_rates_for_hop(res["hop_length"])
+    return VQVAEGeneratorConfig(
+        latent_size=latent,
+        encoder=wavenet.PosteriorEncoderConfig(
+            in_channels=bins, out_channels=latent, hidden_channels=256, n_layers=16, mode="vqvae"
+        ),
+        decoder=hifigan.HiFiGANConfig(
+            hop_length=res["hop_length"],
+            upsample_rates=rates,
+            upsample_kernel_sizes=kernels,
+            num_mels=latent,
+            upsample_initial_channel=512,
+            use_template=False,
+        ),
+        vq=vq_mod.VQConfig(dim=latent, codebook_size=4096, num_quantizers=1),  # vqvae.yaml:10-11
+    )
+
+
 def build_task_config(model: str = "hifigan", resolution: str = "44100_512_2048", family: str = "gan") -> GANTaskConfig:
     res = RESOLUTIONS[resolution]
-    gen_name, gen_cfg = GENERATOR_PRESETS[model](res)
     mrd_res = _mrd_resolutions(res)
+    kw: dict = {}
+    if family == "gan":
+        gen_name, gen_cfg = GENERATOR_PRESETS[model](res)
+    elif family == "vae":
+        gen_name, gen_cfg = "vae", _vae_generator(res)
+    elif family == "vqvae":
+        gen_name, gen_cfg = "vqvae", _vqvae_generator(res)
+        # vqvae.yaml:13-27: smaller crops + reduced discriminators.
+        mrd_res = mrd_res[:4]
+        kw = dict(mpd=mpd.MPDConfig(periods=(2, 3, 5, 7, 11)), num_frames=32)
+    else:
+        raise ValueError(family)
     return GANTaskConfig(
         sampling_rate=res["sampling_rate"],
         n_fft=res["n_fft"],
@@ -198,13 +260,13 @@ def build_task_config(model: str = "hifigan", resolution: str = "44100_512_2048"
         num_mels=res["num_mels"],
         generator_name=gen_name,
         generator=gen_cfg,
-        mpd=mpd.MPDConfig(periods=(3, 5, 7, 11, 17, 23, 37)),
         mrd=mrd.MRDConfig(resolutions=mrd_res),
         stft_resolutions=mrd_res,
-        num_frames=128,
         crop_length=res["hop_length"] * 32,
-        input_transform="mel" if family == "gan" else ("linear" if family == "vae" else "none"),
+        input_transform="mel" if family == "gan" else "linear",
+        family=family,
         schedule=WarmupCosineConfig(val_base=1e-4, val_final=0.0, max_decay_steps=5_000_000),
+        **({"mpd": mpd.MPDConfig(periods=(3, 5, 7, 11, 17, 23, 37)), "num_frames": 128} | kw),
     )
 
 

@@ -28,6 +28,9 @@ def conv1d_from_torch(sd: dict, prefix: str) -> dict:
         v = _np(sd[f"{prefix}.parametrizations.weight.original1"])  # (O,I,K)
         p["g"] = g.reshape(1, 1, -1)
         p["v"] = v.transpose(2, 1, 0)
+    elif f"{prefix}.weight_g" in sd:  # legacy torch.nn.utils.weight_norm naming
+        p["g"] = _np(sd[f"{prefix}.weight_g"]).reshape(1, 1, -1)
+        p["v"] = _np(sd[f"{prefix}.weight_v"]).transpose(2, 1, 0)
     else:
         p["w"] = _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0)
     if f"{prefix}.bias" in sd:

@@ -58,7 +58,8 @@ class GANTaskConfig:
 
     num_frames: int = 128
     crop_length: int | None = 512 * 32  # hop * 32 (gan.yaml:13)
-    input_transform: str = "mel"  # "mel" | "linear" (VAE) | "none" (VQVAE)
+    input_transform: str = "mel"  # "mel" | "linear" (VAE/VQVAE)
+    family: str = "gan"  # "gan" | "vae" | "vqvae" (models/{gan,vae}.py task classes)
 
     schedule: WarmupCosineConfig = WarmupCosineConfig()
     adam_b1: float = 0.8
@@ -80,6 +81,7 @@ class TrainState(flax.struct.PyTreeNode):
     opt_g: Any
     opt_d: Any
     rng: Any
+    extra: Any = None  # non-gradient state (e.g. EMA VQ codebooks)
 
 
 def make_optimizer(cfg: GANTaskConfig) -> optax.GradientTransformation:
@@ -94,8 +96,20 @@ def make_optimizer(cfg: GANTaskConfig) -> optax.GradientTransformation:
 
 def create_train_state(key, cfg: GANTaskConfig) -> TrainState:
     kg, kmpd, kmrd, krng = jax.random.split(key, 4)
-    gen = get_generator(cfg.generator_name)
-    gen_params = gen.init(kg, cfg.generator)
+    extra = None
+    if cfg.family == "gan":
+        gen_params = get_generator(cfg.generator_name).init(kg, cfg.generator)
+    elif cfg.family == "vae":
+        from vocoder_tpu.models import vae as vae_mod
+
+        gen_params = vae_mod.vae_init(kg, cfg.generator)
+    elif cfg.family == "vqvae":
+        from vocoder_tpu.models import vae as vae_mod
+
+        gen_params, vq_state = vae_mod.vqvae_init(kg, cfg.generator)
+        extra = {"vq": vq_state}
+    else:
+        raise ValueError(cfg.family)
     disc_params = {"mpd": mpd.init(kmpd, cfg.mpd), "mrd": mrd.init(kmrd, cfg.mrd)}
     tx = make_optimizer(cfg)
     return TrainState(
@@ -105,6 +119,7 @@ def create_train_state(key, cfg: GANTaskConfig) -> TrainState:
         opt_g=tx.init(gen_params),
         opt_d=tx.init(disc_params),
         rng=krng,
+        extra=extra,
     )
 
 
@@ -151,19 +166,68 @@ def _discs_apply(disc_params: dict, audio: jnp.ndarray, cfg: GANTaskConfig) -> d
 
 
 def generator_forward(
-    gen_params, audio: jnp.ndarray, cfg: GANTaskConfig, *, training: bool, rng=None, input_spec=None
+    gen_params, audio: jnp.ndarray, cfg: GANTaskConfig, *, training: bool, rng=None, input_spec=None, extra=None
 ):
-    """GANModel.forward parity (gan.py:282-288): returns (fake_audio, base_loss)."""
-    gen = get_generator(cfg.generator_name)
+    """Family dispatch; returns (fake_audio, base_loss, new_extra, fwd_metrics).
+
+    - "gan":   GANModel.forward parity (gan.py:282-288); base_loss 0.
+    - "vae":   VAEModel.forward parity (vae.py:13-48): linear spec -> encoder ->
+               chunk mean/logvar -> reparameterize (training) -> decoder; KL as base_loss.
+    - "vqvae": VQVAEModel.forward parity (vae.py:80-109): encoder -> EMA-VQ ->
+               decoder; length-fixed to within one hop; base_loss 0 (the
+               reference comments out vq_loss*5), vq loss logged.
+    """
+    if cfg.family == "gan":
+        gen = get_generator(cfg.generator_name)
+        if input_spec is None:
+            input_spec = input_transform(cfg, audio[:, 0, :])
+        fake = gen.apply(gen_params, input_spec, cfg.generator, training=training, rng=rng)
+        return fake, jnp.zeros(()), extra, {}
+
+    from vocoder_tpu.models import vae as vae_mod
+
     if input_spec is None:
         input_spec = input_transform(cfg, audio[:, 0, :])
-    fake = gen.apply(gen_params, input_spec, cfg.generator, training=training, rng=rng)
-    return fake, jnp.zeros(())
+
+    if cfg.family == "vae":
+        latent = vae_mod.vae_encode(gen_params, input_spec, cfg.generator)
+        l = cfg.generator.latent_size
+        mean, logvar = latent[:, :l, :], latent[:, l:, :]
+        if training:
+            eps = jax.random.normal(rng, mean.shape, mean.dtype)
+            z = mean + eps * jnp.exp(0.5 * logvar)
+        else:
+            z = mean
+        fake = vae_mod.vae_decode(gen_params, z, cfg.generator)
+        kl = 0.5 * jnp.mean(jnp.square(mean) + jnp.exp(logvar) - logvar - 1.0)
+        return fake, kl, extra, {"train/generator/kl": kl}
+
+    if cfg.family == "vqvae":
+        latent = vae_mod.vqvae_encode(gen_params, input_spec, cfg.generator)
+        from vocoder_tpu.models import vq as vq_mod
+
+        quantized, _codes, vq_loss, new_vq = vq_mod.apply(
+            extra["vq"], latent, cfg.generator.vq, training=training
+        )
+        fake = vae_mod.vqvae_decode(gen_params, quantized, cfg.generator)
+        # Length fix to within one hop (vae.py:89-96).
+        t_a, t_f = audio.shape[2], fake.shape[2]
+        assert abs(t_f - t_a) <= cfg.hop_length, (t_f, t_a)
+        if t_f > t_a:
+            fake = fake[:, :, :t_a]
+        elif t_f < t_a:
+            fake = jnp.pad(fake, ((0, 0), (0, 0), (0, t_a - t_f)))
+        new_extra = {**(extra or {}), "vq": new_vq}
+        return fake, jnp.zeros(()), new_extra, {"train/generator/vq": vq_loss}
+
+    raise ValueError(cfg.family)
 
 
-def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rng):
+def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rng, extra):
     r_crop, r_model = jax.random.split(rng)
-    fake, base_loss = generator_forward(gen_params, audio, cfg, training=True, rng=r_model)
+    fake, base_loss, new_extra, fwd_metrics = generator_forward(
+        gen_params, audio, cfg, training=True, rng=r_model, extra=extra
+    )
     assert fake.shape == audio.shape, (fake.shape, audio.shape)
 
     audio_m = audio * mask
@@ -185,7 +249,7 @@ def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rn
     else:
         audio_c, fake_c = audio_m, fake_m
 
-    metrics = {}
+    metrics = dict(fwd_metrics)
     loss_adv_all = 0.0
     fake_outs = _discs_apply(disc_params, fake_c, cfg)
     real_outs = _discs_apply(disc_params, audio_c, cfg)
@@ -208,7 +272,7 @@ def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rn
             "train/generator/all": loss_gen_all,
         }
     )
-    return loss_gen_all, (metrics, audio_c, fake_c)
+    return loss_gen_all, (metrics, audio_c, fake_c, new_extra)
 
 
 def _discriminator_loss_fn(disc_params, audio_c, fake_c, cfg: GANTaskConfig):
@@ -238,9 +302,9 @@ def make_train_step(cfg: GANTaskConfig):
         rng, step_rng = jax.random.split(state.rng)
 
         # ---- Generator phase (gan.py:240-255) ----
-        (loss_g, (g_metrics, audio_c, fake_c)), grads_g = jax.value_and_grad(
+        (loss_g, (g_metrics, audio_c, fake_c, new_extra)), grads_g = jax.value_and_grad(
             _generator_loss, has_aux=True
-        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng)
+        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra)
         updates_g, opt_g = tx.update(grads_g, state.opt_g, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates_g)
         g_metrics["train/generator/grad_norm"] = optax.global_norm(grads_g)
@@ -264,6 +328,7 @@ def make_train_step(cfg: GANTaskConfig):
             opt_g=opt_g,
             opt_d=opt_d,
             rng=rng,
+            extra=new_extra,
         )
         return new_state, metrics
 
@@ -276,7 +341,7 @@ def make_eval_step(cfg: GANTaskConfig):
     def step(state: TrainState, batch: dict):
         audio, lengths = batch["audio"], batch["lengths"]
         mask = sequence_mask(lengths, audio.shape[2])
-        fake, _ = generator_forward(state.gen_params, audio, cfg, training=False)
+        fake, _, _, _ = generator_forward(state.gen_params, audio, cfg, training=False, extra=state.extra)
         audio_m, fake_m = audio * mask, fake * mask
         loss_mel = jnp.mean(
             jnp.abs(loss_mel_transform(cfg, audio_m[:, 0]) - loss_mel_transform(cfg, fake_m[:, 0]))
