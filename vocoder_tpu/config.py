@@ -177,6 +177,7 @@ class RunConfig:
     ckpt_path: str | None = None
     resume_weights_only: bool = False
     workdir: str = "logs/train"
+    profile_steps: tuple | None = None  # (start, stop) -> jax.profiler trace into workdir/profile
 
 
 @dataclasses.dataclass(frozen=True)

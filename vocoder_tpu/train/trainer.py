@@ -133,9 +133,16 @@ def train(cfg: TrainConfig) -> gan.TrainState:
     log(f"starting training at step {start_step} / {cfg.run.max_steps}")
     t0 = time.perf_counter()
     window = max(cfg.run.log_interval, 1)
+    profile = cfg.run.profile_steps  # jax.profiler trace window (SURVEY.md §5.1 gap)
     for step in range(start_step, cfg.run.max_steps):
+        if profile and step == profile[0]:
+            jax.profiler.start_trace(str(workdir / "profile"))
         batch = next(prefetcher)
         state, metrics = step_fn(state, batch)
+        if profile and step + 1 == profile[1]:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            log(f"profiler trace written to {workdir / 'profile'}")
 
         if (step + 1) % window == 0:
             jax.block_until_ready(metrics)
