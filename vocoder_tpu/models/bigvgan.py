@@ -82,11 +82,14 @@ def _amp_init(key, channels: int, kernel_size: int, dilations: tuple, cfg: BigVG
 def _amp_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, cfg: BigVGANConfig) -> jnp.ndarray:
     acts1 = p["activations"][::2]
     acts2 = p["activations"][1::2]
+    t, c = x.shape[1], x.shape[2]
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
+        pad1 = nn.get_padding(kernel_size, d)
+        pad2 = nn.get_padding(kernel_size)
         xt = _aa_snake(a1, x, cfg.snake_logscale)
-        xt = nn.conv1d(c1, xt, padding=nn.get_padding(kernel_size, d), dilation=d)
+        xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
         xt = _aa_snake(a2, xt, cfg.snake_logscale)
-        xt = nn.conv1d(c2, xt, padding=nn.get_padding(kernel_size))
+        xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
         x = xt + x
     return x
 

@@ -60,11 +60,14 @@ def _resblock_init(key, channels: int, kernel_size: int, dilations: tuple) -> di
 
 
 def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple) -> jnp.ndarray:
+    t, c = x.shape[1], x.shape[2]
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
+        pad1 = nn.get_padding(kernel_size, d)
+        pad2 = nn.get_padding(kernel_size)
         xt = nn.silu(x)
-        xt = nn.conv1d(c1, xt, padding=nn.get_padding(kernel_size, d), dilation=d)
+        xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
         xt = nn.silu(xt)
-        xt = nn.conv1d(c2, xt, padding=nn.get_padding(kernel_size))
+        xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
         x = x + xt
     return x
 

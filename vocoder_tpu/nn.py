@@ -23,6 +23,7 @@ remove_parametrizations at hifigan.py:251-257) is one generic tree transform.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -135,9 +136,18 @@ def conv1d_init(key, in_ch, out_ch, kernel_size, *, groups=1, bias=True, weight_
     return p
 
 
-def conv1d(p: Params, x: jnp.ndarray, *, stride=1, padding=0, dilation=1, groups=1, precision=None) -> jnp.ndarray:
-    """x: (B, T, C_in) -> (B, T', C_out); torch Conv1d semantics."""
+def conv1d(p: Params, x: jnp.ndarray, *, stride=1, padding=0, dilation=1, groups=1, precision=None, fold=1) -> jnp.ndarray:
+    """x: (B, T, C_in) -> (B, T', C_out); torch Conv1d semantics.
+
+    ``fold=r`` (stride-1, non-grouped, "same"-padded convs only) runs the conv
+    space-to-depth folded: r consecutive time steps become channels, so a
+    C=16 conv becomes a 16r-channel conv that fills the 128-lane MXU — the
+    key throughput lever for the small-channel late stages of HiFiGAN/BigVGAN
+    upsampling stacks (numerically identical; see fold_conv1d_weight).
+    """
     w = weight_norm_weight(p)
+    if fold > 1 and stride == 1 and groups == 1 and x.shape[1] % fold == 0:
+        return _conv1d_folded(p, x, w, padding=padding, dilation=dilation, fold=fold, precision=precision)
     y = lax.conv_general_dilated(
         x,
         w,
@@ -149,6 +159,59 @@ def conv1d(p: Params, x: jnp.ndarray, *, stride=1, padding=0, dilation=1, groups
         precision=precision or DEFAULT_PRECISION,
         preferred_element_type=x.dtype,
     )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_index(k: int, r: int, padding: int, dilation: int):
+    """Static (idx, mask, qmin) for space-to-depth conv folding.
+
+    y[t*r + j, d] = sum_{tau, c} x[t*r + j + dilation*tau - p, c] W[tau, c, d].
+    Writing the input offset as q*r + i, each folded tap q couples input lane i
+    to output lane j through original tap tau = q*r + i - j + p (when it
+    exists); everything else is a structural zero.
+    """
+    import numpy as _np
+
+    p = padding
+    qmin = -((p + r - 1) // r)
+    qmax = ((r - 1) + dilation * (k - 1) - p) // r
+    q_count = qmax - qmin + 1
+    idx = _np.zeros((q_count, r, r), _np.int32)
+    mask = _np.zeros((q_count, r, r), _np.float32)
+    for qi, q in enumerate(range(qmin, qmax + 1)):
+        for i in range(r):
+            for j in range(r):
+                tau_num = q * r + i - j + p
+                if tau_num % dilation == 0:
+                    tau = tau_num // dilation
+                    if 0 <= tau < k:
+                        idx[qi, i, j] = tau
+                        mask[qi, i, j] = 1.0
+    return idx, mask, qmin, qmax
+
+
+def _conv1d_folded(p: Params, x: jnp.ndarray, w: jnp.ndarray, *, padding: int, dilation: int, fold: int, precision):
+    k, cin, cout = w.shape
+    b, t, _ = x.shape
+    r = fold
+    idx, mask, qmin, qmax = _fold_index(k, r, padding, dilation)
+    # Folded weight: (Q, r*cin, r*cout).
+    wf = w[jnp.asarray(idx)] * jnp.asarray(mask)[..., None, None]  # (Q, r, r, cin, cout)
+    wf = jnp.transpose(wf, (0, 1, 3, 2, 4)).reshape(idx.shape[0], r * cin, r * cout).astype(x.dtype)
+    xf = x.reshape(b, t // r, r * cin)
+    y = lax.conv_general_dilated(
+        xf,
+        wf,
+        window_strides=(1,),
+        padding=[(-qmin, qmax)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision or DEFAULT_PRECISION,
+        preferred_element_type=x.dtype,
+    )  # (B, T/r, r*cout)
+    y = y.reshape(b, t, cout)
     if "b" in p:
         y = y + p["b"]
     return y
@@ -191,6 +254,26 @@ def conv_transpose1d(p: Params, x: jnp.ndarray, *, stride, padding=0, precision=
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+@functools.lru_cache(maxsize=None)
+def choose_fold(k: int, dilation: int, padding: int, channels: int, t: int) -> int:
+    """Pick the space-to-depth fold factor for a small-channel conv.
+
+    Model: unfolded time ∝ 128·k·C (MXU lane util C/128); folded ∝ 128·Q·C
+    (util r·C/128 cancels the r× FLOP growth), so the speedup is k/Q where Q
+    is the folded tap count.  Fold only when the modeled gain is >= 1.5x.
+    """
+    best_r, best_gain = 1, 1.49
+    r = 2
+    while r * channels <= 128:
+        if t % r == 0:
+            _, _, qmin, qmax = _fold_index(k, r, padding, dilation)
+            gain = k / (qmax - qmin + 1)
+            if gain > best_gain:
+                best_r, best_gain = r, gain
+        r *= 2
+    return best_r
 
 
 def conv2d_init(key, in_ch, out_ch, kernel_size, *, bias=True, weight_norm=False, init="torch"):
