@@ -1,0 +1,104 @@
+"""ctypes bindings for the native C++ audio kernels (native/audio_kernels.cc).
+
+Auto-builds the shared library on first use (make -C native) and transparently
+falls back to the pure-numpy implementations when no compiler is available.
+The Python and C++ paths share the same filter design and are parity-tested
+against each other.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libaudio_kernels.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.decode_pcm16.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+        lib.decode_pcm24.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+        lib.decode_pcm32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+        lib.resample_poly.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.peak_abs.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.peak_abs.restype = ctypes.c_float
+        lib.scale_inplace.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_float]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_pcm(data: bytes, bits: int, channels: int) -> np.ndarray | None:
+    """Interleaved PCM bytes -> float32 (channels, frames); None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    bytes_per = bits // 8
+    frames = len(data) // (bytes_per * channels)
+    buf = np.frombuffer(data, dtype=np.uint8)[: frames * channels * bytes_per].copy()
+    out = np.empty((channels, frames), np.float32)
+    fn = {16: lib.decode_pcm16, 24: lib.decode_pcm24, 32: lib.decode_pcm32}.get(bits)
+    if fn is None:
+        return None
+    fn(buf.ctypes.data, out.ctypes.data, frames, channels)
+    return out
+
+
+def resample_native(x: np.ndarray, orig_freq: int, new_freq: int, kernels: np.ndarray, width: int) -> np.ndarray | None:
+    """1-D resample via the C++ polyphase kernel; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import math
+
+    x = np.ascontiguousarray(x, np.float32)
+    kernels = np.ascontiguousarray(kernels, np.float32)
+    y_len = math.ceil(new_freq * x.shape[-1] / orig_freq)
+    y = np.empty(y_len, np.float32)
+    lib.resample_poly(
+        x.ctypes.data, x.shape[-1], kernels.ctypes.data, new_freq, orig_freq, kernels.shape[1], width, y.ctypes.data, y_len
+    )
+    return y
+
+
+def peak_normalize_inplace(x: np.ndarray, threshold: float = 1.0, target: float = 0.99) -> np.ndarray:
+    """Peak-normalise when |x| >= threshold (datasets/vocoder.py:39-40)."""
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    if lib is None:
+        peak = float(np.max(np.abs(x))) if x.size else 0.0
+        if peak >= threshold:
+            x = x / (peak / target)
+        return x
+    peak = lib.peak_abs(x.ctypes.data, x.size)
+    if peak >= threshold:
+        lib.scale_inplace(x.ctypes.data, x.size, target / peak)
+    return x

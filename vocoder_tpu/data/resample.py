@@ -30,12 +30,23 @@ def _kernel(orig_freq: int, new_freq: int, lowpass_filter_width: int = 6, rollof
 
 
 def resample(x: np.ndarray, orig_sr: int, new_sr: int, lowpass_filter_width: int = 6, rolloff: float = 0.99) -> np.ndarray:
-    """Resample (..., T) float32 audio from orig_sr to new_sr."""
+    """Resample (..., T) float32 audio from orig_sr to new_sr.
+
+    Uses the C++ polyphase kernel (native/audio_kernels.cc) when available;
+    numpy otherwise — identical filter design, parity-tested.
+    """
     if orig_sr == new_sr:
         return np.asarray(x, dtype=np.float32)
     g = math.gcd(int(orig_sr), int(new_sr))
     orig_freq, new_freq = int(orig_sr) // g, int(new_sr) // g
     kernels, width = _kernel(orig_freq, new_freq, lowpass_filter_width, rolloff)
+
+    from vocoder_tpu.data import native
+
+    if native.available() and np.asarray(x).ndim == 1:
+        out = native.resample_native(np.asarray(x, np.float32), orig_freq, new_freq, kernels, width)
+        if out is not None:
+            return out
 
     x = np.asarray(x, dtype=np.float32)
     shape = x.shape
