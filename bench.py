@@ -1,11 +1,16 @@
 """Benchmark: generated audio-seconds per second per chip (HiFiGAN inference).
 
 Runs the flagship full-size 44.1 kHz HiFiGAN generator (BASELINE.md config 1)
-on the available accelerator and prints ONE JSON line.
+in throughput mode — bf16 weights/activations, batch 64 of ~3 s utterances —
+and prints ONE JSON line.
 
 The reference publishes no numbers (BASELINE.json "published": {}), so
 ``vs_baseline`` is anchored to real-time synthesis: vs_baseline == generated
 audio-seconds per wall-clock second per chip (x real-time).
+
+Timing uses a host readback after the loop: on the remote-attached TPU
+backend, block_until_ready alone under-reports (async queueing), so the sum
+readback forces full execution of the chain.
 """
 
 import json
@@ -20,29 +25,28 @@ def main():
     from vocoder_tpu import nn
     from vocoder_tpu.models import hifigan
 
-    # Benchmarks run at standard (speed) precision; parity tests use HIGHEST.
     nn.set_default_precision(lax.Precision.DEFAULT)
 
     cfg = hifigan.HiFiGANConfig()  # 44.1 kHz, hop 512, 512 channels
     params = hifigan.init(jax.random.key(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    batch, frames = 4, 256  # 4 x ~2.97 s of audio per call
-    sr = 44100
-    audio_seconds_per_call = batch * frames * cfg.hop_length / sr
+    batch, frames, sr = 64, 256, 44100
+    audio_seconds_per_call = batch * frames * cfg.hop_length / sr  # ~190 s
 
     @jax.jit
     def run(mel):
         return hifigan.apply(params, mel, cfg)
 
-    mel = jnp.zeros((batch, cfg.num_mels, frames), jnp.float32)
-    out = run(mel)
-    jax.block_until_ready(out)  # compile + warmup
+    mel = jnp.zeros((batch, cfg.num_mels, frames), jnp.bfloat16)
+    float(jnp.sum(run(mel)))  # compile + warmup (compiles are slow on this link)
 
-    n_iters = 10
+    n_iters = 5
     start = time.perf_counter()
+    out = None
     for _ in range(n_iters):
         out = run(mel)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))  # force execution of the whole chain
     elapsed = time.perf_counter() - start
 
     value = audio_seconds_per_call * n_iters / elapsed

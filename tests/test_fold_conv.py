@@ -29,9 +29,11 @@ def test_fold_falls_back_when_t_not_divisible():
 
 
 def test_choose_fold_prefers_wide_kernels():
-    # k=7 undilated, C=16: folding pays (gain 7/3 ~ 2.3).
-    assert nn.choose_fold(7, 1, 3, 16, 1024) > 1
+    # k=7 undilated, C=16: the model says folding pays (gain 7/3 ~ 2.3).
+    assert nn._choose_fold_impl(7, 1, 3, 16, 1024) > 1
     # k=3 undilated: gain 3/3 == 1 -> no fold.
-    assert nn.choose_fold(3, 1, 1, 16, 1024) == 1
+    assert nn._choose_fold_impl(3, 1, 1, 16, 1024) == 1
     # Wide channels: no headroom.
-    assert nn.choose_fold(7, 1, 3, 256, 1024) == 1
+    assert nn._choose_fold_impl(7, 1, 3, 256, 1024) == 1
+    # Disabled by default (measured slower on v5e XLA conv lowering).
+    assert nn.choose_fold(7, 1, 3, 16, 1024) == 1

@@ -256,14 +256,15 @@ def conv_transpose1d(p: Params, x: jnp.ndarray, *, stride, padding=0, precision=
     return y
 
 
-@functools.lru_cache(maxsize=None)
-def choose_fold(k: int, dilation: int, padding: int, channels: int, t: int) -> int:
-    """Pick the space-to-depth fold factor for a small-channel conv.
+# Measured on TPU v5e: XLA's conv lowering is NOT lane-limited for these
+# shapes, so folding's extra structural-zero FLOPs lose (377 -> 337 audio-s/s
+# on HiFiGAN).  The exact folded path stays available behind this flag for
+# shapes/backends where it wins.
+ENABLE_CONV_FOLDING = False
 
-    Model: unfolded time ∝ 128·k·C (MXU lane util C/128); folded ∝ 128·Q·C
-    (util r·C/128 cancels the r× FLOP growth), so the speedup is k/Q where Q
-    is the folded tap count.  Fold only when the modeled gain is >= 1.5x.
-    """
+
+@functools.lru_cache(maxsize=None)
+def _choose_fold_impl(k: int, dilation: int, padding: int, channels: int, t: int) -> int:
     best_r, best_gain = 1, 1.49
     r = 2
     while r * channels <= 128:
@@ -274,6 +275,13 @@ def choose_fold(k: int, dilation: int, padding: int, channels: int, t: int) -> i
                 best_r, best_gain = r, gain
         r *= 2
     return best_r
+
+
+def choose_fold(k: int, dilation: int, padding: int, channels: int, t: int) -> int:
+    """Space-to-depth fold factor for a small-channel conv (1 = disabled)."""
+    if not ENABLE_CONV_FOLDING:
+        return 1
+    return _choose_fold_impl(k, dilation, padding, channels, t)
 
 
 def conv2d_init(key, in_ch, out_ch, kernel_size, *, bias=True, weight_norm=False, init="torch"):
