@@ -60,8 +60,20 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
 
 
+# On TPU the fused Pallas kernel computes the up->snake->down composition in
+# one VMEM pass (ops/pallas/aa_snake.py, bit-exact); elsewhere (CPU tests)
+# the XLA composition runs.  Set to False to force the composition everywhere.
+USE_PALLAS_AA = True
+
+
 def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     """Anti-aliased activation: 2x upsample -> snake -> 2x downsample."""
+    if USE_PALLAS_AA and jax.default_backend() != "cpu":
+        from vocoder_tpu.ops.pallas.aa_snake import fused_aa_snake
+
+        alpha = p["alpha"]
+        beta = p.get("beta", alpha)
+        return fused_aa_snake(x, alpha, beta, logscale)
     return downsample1d(_snake_apply(p, upsample1d(x, 2), logscale), 2)
 
 
