@@ -109,7 +109,13 @@ def batch_iterator(
 
 
 class DevicePrefetcher:
-    """Background thread: host batches -> device (sharded) arrays, depth-N queue."""
+    """Background thread: host batches -> device (sharded) arrays, depth-N queue.
+
+    Single-host: device_put with the batch sharding.  Multi-host: each host
+    contributes its local shard of the global batch via
+    jax.make_array_from_process_local_data (the GSPMD analogue of DDP's
+    per-rank loaders, SURVEY.md §2.10).
+    """
 
     def __init__(self, iterator: Iterator[dict], sharding=None, depth: int = 2):
         import jax
@@ -118,8 +124,13 @@ class DevicePrefetcher:
         self._sharding = sharding
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        multihost = jax.process_count() > 1
 
         def put(batch):
+            if sharding is not None and multihost:
+                return {
+                    k: jax.make_array_from_process_local_data(sharding, v) for k, v in batch.items()
+                }
             if sharding is not None:
                 return {k: jax.device_put(v, sharding) for k, v in batch.items()}
             return {k: jax.device_put(v) for k, v in batch.items()}

@@ -34,8 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vocoder_tpu.ops.antialias import downsample1d, kaiser_sinc_filter1d, upsample1d
 
-_HALO_L = 5  # x halo: left 5, right 6 (window covers [t0-5, t0+T+5])
-_HALO_R = 6
+# The math needs x in [t0-5, t0+T+5]; Mosaic requires HBM DMA slice lengths
+# aligned to the 8-sublane tiling, so the halo is widened to 8 per side
+# (window = t_tile + 16) and the branch formulas index with a +3 base offset.
+_HALO_L = 8
+_HALO_R = 8
 _EDGE = 4  # output samples per side recomputed unfused (>= 3 affected)
 _EDGE_WIN = 32  # input window for the edge recomputation
 
@@ -60,18 +63,18 @@ def _kernel(x_hbm, ab_ref, o_ref, x_vmem, sem, *, t_tile, c, f_e, f_o, g_e, g_o)
     alpha = ab_ref[0:1, :]
     beta = ab_ref[1:2, :]
 
-    # Even branch: se[u] = snake(2 * sum_j x[u+j] * f[11-2j]), u in [0, t_tile+6)
-    se = x[0 : t_tile + 6, :] * f_e[0]
+    # Even branch: se_local[u] = snake(2 * sum_j x[u+3+j] * f[11-2j]),
+    # u in [0, t_tile+6)  (x_local[m] == x[t0-8+m], se_local[u] == se[t0-2+u])
+    se = x[3 : 3 + t_tile + 6, :] * f_e[0]
     for j_ in range(1, 6):
-        se = se + x[j_ : j_ + t_tile + 6, :] * f_e[j_]
+        se = se + x[3 + j_ : 3 + j_ + t_tile + 6, :] * f_e[j_]
     se = snake(2.0 * se, alpha, beta)
 
-    # Odd branch: so_local[v] = snake(2 * sum_j x[v+j] * f[10-2j]), v in [0, t_tile+5)
-    # (so_local[v] == so[t0-3+v]; its x window starts one sample EARLIER than
-    # the even branch's at the same local index.)
-    so = x[0 : t_tile + 5, :] * f_o[0]
+    # Odd branch: so_local[v] = snake(2 * sum_j x[v+3+j] * f[10-2j]),
+    # v in [0, t_tile+5)  (so_local[v] == so[t0-3+v]; same +3 base offset)
+    so = x[3 : 3 + t_tile + 5, :] * f_o[0]
     for j_ in range(1, 6):
-        so = so + x[j_ : j_ + t_tile + 5, :] * f_o[j_]
+        so = so + x[3 + j_ : 3 + j_ + t_tile + 5, :] * f_o[j_]
     so = snake(2.0 * so, alpha, beta)
 
     # Recombine: z[t] = sum_a g[2a+1]*se[t+a] + g[2a]*so[t+a]

@@ -162,11 +162,21 @@ def train(cfg: TrainConfig) -> gan.TrainState:
 
         if val_batches and (step + 1) % cfg.run.val_interval == 0:
             mels = []
+            first_fake = None
             for vb in val_batches:
-                vmetrics, _ = eval_fn(state, vb)
+                vmetrics, fake = eval_fn(state, vb)
+                if first_fake is None:
+                    first_fake = (np.asarray(fake), vb)
                 mels.append(float(vmetrics["val/metrics/mel"]))
             metrics_logger.write(step + 1, {"val/metrics/mel": float(np.mean(mels))})
             log(f"step {step + 1}: val mel-L1 {np.mean(mels):.4f}")
+            # Media logging: GT vs generated audio for the first val clip
+            # (VocoderModel.report_val_metrics analogue, models/vocoder.py:48-118).
+            fake_np, vb = first_fake
+            n = int(vb["lengths"][0])
+            if n > 0:
+                metrics_logger.add_audio(step + 1, "val/audio/gt", np.asarray(vb["audio"])[0, 0, :n], task.sampling_rate)
+                metrics_logger.add_audio(step + 1, "val/audio/pred", fake_np[0, 0, :n], task.sampling_rate)
 
         ckpt.save(int(state.step), state)
 

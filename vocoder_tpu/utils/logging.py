@@ -57,7 +57,10 @@ class MetricsLogger:
 
     def add_audio(self, step: int, tag: str, audio, sample_rate: int) -> None:
         if self.main and self.tb is not None:
-            self.tb.add_audio(tag, audio.reshape(-1, 1), step, sample_rate=sample_rate)
+            try:  # tensorboardX audio encoding needs soundfile, absent here
+                self.tb.add_audio(tag, audio.reshape(-1, 1), step, sample_rate=sample_rate)
+            except Exception:
+                pass
 
     def close(self):
         if self.jsonl is not None:
