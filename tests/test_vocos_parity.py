@@ -100,3 +100,23 @@ def test_vocos_init_and_droppath_run():
     mel = jnp.zeros((1, 8, 6))
     out = vocos.apply(params, mel, cfg, training=True, rng=jax.random.key(1))
     assert out.shape == (1, 1, 96)
+
+
+def test_istft_head_noninteger_hop_ratio():
+    # Resolution 24000_2048_3072 (configs/model/resolution/24000_2048_3072.yaml):
+    # n_fft=3072, hop=2048 -> 3072 % 2048 != 0, exercising the general
+    # anti-diagonal-kernel overlap-add path.
+    torch.manual_seed(3)
+    dim, n_fft, hop = 16, 96, 64
+    ref = TorchISTFTHead(dim, n_fft, hop, n_fft)
+    ref.eval()
+    cfg = vocos.ISTFTHeadConfig(dim=dim, n_fft=n_fft, hop_length=hop, win_length=n_fft)
+    params = vocos.istft_head_from_torch(ref.state_dict())
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, dim, 9)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(vocos.istft_head_apply(params, jnp.asarray(x).transpose(0, 2, 1), cfg))
+    assert got.shape == want.shape == (1, 9 * hop)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

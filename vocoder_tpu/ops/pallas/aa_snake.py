@@ -136,12 +136,27 @@ def fused_aa_snake(
     beta2d = beta[None, :]
 
     t = x.shape[1]
+    c = x.shape[2]
     t_tile = _pick_tile(t)
-    if t_tile is None or t < 2 * _EDGE_WIN:
+    # Mosaic HBM slices need 128-lane alignment: run the kernel for C >= 128,
+    # zero-pad 64 <= C < 128 up to 128 (still a bandwidth win), and fall back
+    # to the XLA composition for narrower stages where padding would cost
+    # more than the fusion saves.
+    if t_tile is None or t < 2 * _EDGE_WIN or (c % 128 != 0 and c < 64):
         return _unfused(x, alpha2d, beta2d)
 
-    ab = jnp.stack([alpha, beta]).astype(x.dtype)
-    z = _interior(x, ab, t_tile, interpret)
+    pad_c = (-c) % 128
+    if pad_c:
+        x_k = jnp.pad(x, ((0, 0), (0, 0), (0, pad_c)))
+        alpha_k = jnp.pad(alpha, (0, pad_c))
+        beta_k = jnp.pad(beta, (0, pad_c), constant_values=1.0)  # avoid 1/eps blowup on pad lanes
+    else:
+        x_k, alpha_k, beta_k = x, alpha, beta
+
+    ab = jnp.stack([alpha_k, beta_k]).astype(x.dtype)
+    z = _interior(x_k, ab, t_tile, interpret)
+    if pad_c:
+        z = z[:, :, :c]
 
     # Exact edges: the unfused path on a short window reproduces the global
     # edge-replication; interior contamination stays > _EDGE samples away.

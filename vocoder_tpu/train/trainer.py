@@ -97,6 +97,17 @@ def train(cfg: TrainConfig) -> gan.TrainState:
     metrics_logger = MetricsLogger(workdir)
     ckpt = CheckpointManager(workdir / "checkpoints", save_interval_steps=cfg.run.ckpt_interval)
 
+    # Config + hyperparameter capture (rich_utils config_tree.log +
+    # logging_utils param-count analogue).
+    if jax.process_index() == 0:
+        import dataclasses as _dc
+        import json as _json
+
+        workdir.mkdir(parents=True, exist_ok=True)
+        (workdir / "config.json").write_text(
+            _json.dumps(_dc.asdict(cfg), indent=2, default=str)
+        )
+
     state = gan.create_train_state(jax.random.key(cfg.run.seed), task)
 
     # Auto-resume (train.py:81-95 semantics).
@@ -111,6 +122,10 @@ def train(cfg: TrainConfig) -> gan.TrainState:
         start_step = int(state.step)
         log(f"auto-resumed from step {start_step}")
 
+    log(
+        f"params: generator {nn.param_count(state.gen_params):,}, "
+        f"discriminators {nn.param_count(state.disc_params):,}"
+    )
     state = shard_train_state(state, mesh)
 
     step_fn = jax.jit(gan.make_train_step(task), donate_argnums=0)
