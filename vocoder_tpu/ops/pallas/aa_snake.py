@@ -49,17 +49,38 @@ def snake(x, alpha, beta):
 
 
 def _kernel(x_hbm, ab_ref, o_ref, x_vmem, sem, *, t_tile, c, f_e, f_o, g_e, g_o):
+    """Double-buffered: each program waits on its own slot's DMA (started by
+    the previous program) and prefetches the next tile's window into the other
+    slot, overlapping the halo load with compute."""
     i = pl.program_id(0)  # batch
     j = pl.program_id(1)  # time tile
-    dma = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * t_tile, t_tile + _HALO_L + _HALO_R), :],
-        x_vmem,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    n_i = pl.num_programs(0)
+    n_j = pl.num_programs(1)
+    win = t_tile + _HALO_L + _HALO_R
+    g = i * n_j + j  # linear program index -> consistent slot parity everywhere
+    slot = jax.lax.rem(g, 2)
+    nxt = 1 - slot
 
-    x = x_vmem[:]
+    def dma(ii, jj, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[ii, pl.ds(jj * t_tile, win), :], x_vmem.at[s], sem.at[s]
+        )
+
+    @pl.when(g == 0)
+    def _():
+        dma(i, j, slot).start()
+
+    # Prefetch the next program's window (wrapping to the next batch row).
+    last = j + 1 == n_j
+    nxt_i = jnp.where(last, i + 1, i)
+    nxt_j = jnp.where(last, 0, j + 1)
+
+    @pl.when(g + 1 < n_i * n_j)
+    def _():
+        dma(nxt_i, nxt_j, nxt).start()
+
+    dma(i, j, slot).wait()
+    x = x_vmem[slot]
     alpha = ab_ref[0:1, :]
     beta = ab_ref[1:2, :]
 
@@ -105,7 +126,10 @@ def _interior(x, ab, t_tile: int, interpret: bool):
         ],
         out_specs=pl.BlockSpec((None, t_tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t_tile + _HALO_L + _HALO_R, c), x.dtype), pltpu.SemaphoreType.DMA],
+        scratch_shapes=[
+            pltpu.VMEM((2, t_tile + _HALO_L + _HALO_R, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(xp, ab)
 
@@ -160,7 +184,9 @@ def fused_aa_snake(
 
     # Exact edges: the unfused path on a short window reproduces the global
     # edge-replication; interior contamination stays > _EDGE samples away.
+    # In-place scatter (no full-tensor concatenate copy).
     left = _unfused(x[:, :_EDGE_WIN, :], alpha2d, beta2d)[:, :_EDGE, :]
     right = _unfused(x[:, -_EDGE_WIN:, :], alpha2d, beta2d)[:, -_EDGE:, :]
-    z = jnp.concatenate([left, z[:, _EDGE : t - _EDGE, :], right], axis=1)
+    z = z.at[:, :_EDGE, :].set(left)
+    z = z.at[:, t - _EDGE :, :].set(right)
     return z
