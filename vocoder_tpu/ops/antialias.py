@@ -46,9 +46,9 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> 
     return f.astype(np.float32)
 
 
-def _depthwise_kernel(filt: np.ndarray, channels: int) -> jnp.ndarray:
+def _depthwise_kernel(filt: np.ndarray, channels: int, dtype) -> jnp.ndarray:
     # (K,) -> (K, 1, C) HIO depthwise kernel (filter shared across channels).
-    return jnp.broadcast_to(jnp.asarray(filt)[:, None, None], (filt.shape[0], 1, channels))
+    return jnp.broadcast_to(jnp.asarray(filt, dtype)[:, None, None], (filt.shape[0], 1, channels))
 
 
 def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
@@ -60,7 +60,7 @@ def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -
     pad_left = pad * stride + (kernel_size - stride) // 2
     pad_right = pad * stride + (kernel_size - stride + 1) // 2
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
-    w = _depthwise_kernel(filt[::-1].copy(), c)  # flip for transposed conv
+    w = _depthwise_kernel(filt[::-1].copy(), c, x.dtype)  # flip for transposed conv
 
     x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
     y = ratio * lax.conv_general_dilated(
@@ -84,7 +84,7 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None)
     pad_left = kernel_size // 2 - int(even)
     pad_right = kernel_size // 2
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
-    w = _depthwise_kernel(filt, c)
+    w = _depthwise_kernel(filt, c, x.dtype)
 
     x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
     return lax.conv_general_dilated(
