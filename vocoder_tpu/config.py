@@ -178,6 +178,7 @@ class RunConfig:
     resume_weights_only: bool = False
     workdir: str = "logs/train"
     profile_steps: tuple | None = None  # (start, stop) -> jax.profiler trace into workdir/profile
+    early_stop_patience: int | None = None  # validations without val-mel improvement (callbacks/early_stopping.yaml)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -149,6 +149,7 @@ def train(cfg: TrainConfig) -> gan.TrainState:
     t0 = time.perf_counter()
     window = max(cfg.run.log_interval, 1)
     profile = cfg.run.profile_steps  # jax.profiler trace window (SURVEY.md §5.1 gap)
+    best_val, stale_vals = float("inf"), 0
     for step in range(start_step, cfg.run.max_steps):
         if profile and step == profile[0]:
             jax.profiler.start_trace(str(workdir / "profile"))
@@ -183,8 +184,17 @@ def train(cfg: TrainConfig) -> gan.TrainState:
                 if first_fake is None:
                     first_fake = (np.asarray(fake), vb)
                 mels.append(float(vmetrics["val/metrics/mel"]))
-            metrics_logger.write(step + 1, {"val/metrics/mel": float(np.mean(mels))})
-            log(f"step {step + 1}: val mel-L1 {np.mean(mels):.4f}")
+            val_mel = float(np.mean(mels))
+            metrics_logger.write(step + 1, {"val/metrics/mel": val_mel})
+            log(f"step {step + 1}: val mel-L1 {val_mel:.4f}")
+            if cfg.run.early_stop_patience is not None:
+                if val_mel < best_val - 1e-6:
+                    best_val, stale_vals = val_mel, 0
+                else:
+                    stale_vals += 1
+                    if stale_vals >= cfg.run.early_stop_patience:
+                        log(f"early stop: no val improvement in {stale_vals} validations")
+                        break
             # Media logging: GT vs generated audio for the first val clip
             # (VocoderModel.report_val_metrics analogue, models/vocoder.py:48-118).
             fake_np, vb = first_fake

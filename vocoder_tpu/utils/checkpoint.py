@@ -46,7 +46,10 @@ class CheckpointManager:
         The analogue of resume_weights_only / strict=False (train.py:89-95).
         """
         restored = self.restore(jax.tree.map(ocp.utils.to_shape_dtype_struct, state), step)
-        return state.replace(gen_params=restored.gen_params, disc_params=restored.disc_params)
+        # extra carries non-gradient model state (EMA VQ codebooks) — weights-like.
+        return state.replace(
+            gen_params=restored.gen_params, disc_params=restored.disc_params, extra=restored.extra
+        )
 
     def wait(self):
         self.manager.wait_until_finished()
