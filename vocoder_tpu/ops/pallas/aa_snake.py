@@ -80,9 +80,11 @@ def _kernel(x_hbm, ab_ref, o_ref, x_vmem, sem, *, t_tile, c, f_e, f_o, g_e, g_o)
         dma(nxt_i, nxt_j, nxt).start()
 
     dma(i, j, slot).wait()
-    x = x_vmem[slot]
-    alpha = ab_ref[0:1, :]
-    beta = ab_ref[1:2, :]
+    # Compute in f32: Mosaic has no bf16 sin, and the snake nonlinearity
+    # benefits from the precision anyway; cast back at the store.
+    x = x_vmem[slot].astype(jnp.float32)
+    alpha = ab_ref[0:1, :].astype(jnp.float32)
+    beta = ab_ref[1:2, :].astype(jnp.float32)
 
     # Even branch: se_local[u] = snake(2 * sum_j x[u+3+j] * f[11-2j]),
     # u in [0, t_tile+6)  (x_local[m] == x[t0-8+m], se_local[u] == se[t0-2+u])
@@ -102,7 +104,7 @@ def _kernel(x_hbm, ab_ref, o_ref, x_vmem, sem, *, t_tile, c, f_e, f_o, g_e, g_o)
     z = se[0:t_tile, :] * g_o[0] + so[0:t_tile, :] * g_e[0]
     for a in range(1, 6):
         z = z + se[a : a + t_tile, :] * g_o[a] + so[a : a + t_tile, :] * g_e[a]
-    o_ref[:] = z
+    o_ref[:] = z.astype(o_ref.dtype)
 
 
 def _interior(x, ab, t_tile: int, interpret: bool):
