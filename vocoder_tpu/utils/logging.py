@@ -27,8 +27,9 @@ def log(msg: str) -> None:
 
 
 class MetricsLogger:
-    def __init__(self, workdir: str | Path, use_tensorboard: bool = True):
+    def __init__(self, workdir: str | Path, use_tensorboard: bool = True, use_wandb: bool = False, project: str = "tpu-vocoder"):
         self.main = is_main_process()
+        self.wandb = None
         if not self.main:
             self.jsonl = None
             self.tb = None
@@ -44,6 +45,13 @@ class MetricsLogger:
                 self.tb = SummaryWriter(str(workdir / "tb"))
             except Exception:
                 self.tb = None
+        if use_wandb:  # reference default logger (configs/logger/wandb.yaml); gated on the package
+            try:
+                import wandb
+
+                self.wandb = wandb.init(project=project, dir=str(workdir), resume="allow")
+            except Exception:
+                self.wandb = None
 
     def write(self, step: int, metrics: dict) -> None:
         if not self.main:
@@ -54,6 +62,8 @@ class MetricsLogger:
         if self.tb is not None:
             for k, v in scalars.items():
                 self.tb.add_scalar(k, v, step)
+        if self.wandb is not None:
+            self.wandb.log(scalars, step=step)
 
     def add_audio(self, step: int, tag: str, audio, sample_rate: int) -> None:
         if self.main and self.tb is not None:
