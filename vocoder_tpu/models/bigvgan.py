@@ -60,10 +60,13 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
 
 
-# On TPU the fused Pallas kernel computes the up->snake->down composition in
-# one VMEM pass (ops/pallas/aa_snake.py, bit-exact); elsewhere (CPU tests)
-# the XLA composition runs.  Set to False to force the composition everywhere.
-USE_PALLAS_AA = True
+# The fused Pallas kernel (ops/pallas/aa_snake.py) computes up->snake->down
+# in one VMEM pass and is bit-exact on TPU, but measured on v5e the XLA
+# composition is currently ~7% faster end to end (677 vs 727 ms/call, BigVGAN
+# bf16 b16) — XLA's conv fusion already keeps the 2x intermediates on-chip
+# for these shapes, and the kernel only covers the C>=64 stages.  Default off;
+# flip on for backends/shapes where the fusion wins.
+USE_PALLAS_AA = False
 
 
 def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
