@@ -123,3 +123,27 @@ def test_lr_schedule_matches_reference_formula():
     for n in [0, 1, 5, 9, 10, 11, 50, 99, 100, 150]:
         got = float(warmup_cosine(jnp.asarray(n), cfg))
         np.testing.assert_allclose(got, ref(n), rtol=1e-5, atol=1e-10)
+
+
+def test_split_step_matches_fused():
+    cfg = tiny_cfg()
+    batch_t = cfg.hop_length * cfg.num_frames
+    rng = np.random.default_rng(7)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((2, 1, batch_t)) * 0.3, jnp.float32),
+        "lengths": jnp.asarray([batch_t, batch_t]),
+    }
+    s_fused = gan.create_train_state(jax.random.key(3), cfg)
+    s_split = gan.create_train_state(jax.random.key(3), cfg)
+
+    fused = jax.jit(gan.make_train_step(cfg))
+    split = gan.make_train_step_split(cfg)
+
+    s_fused, m_fused = fused(s_fused, batch)
+    s_split, m_split = split(s_split, batch)
+
+    assert int(s_split.step) == int(s_fused.step) == 1
+    for k in ["train/generator/all", "train/discriminator/all", "lr"]:
+        np.testing.assert_allclose(float(m_fused[k]), float(m_split[k]), rtol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s_fused.gen_params), jax.tree.leaves(s_split.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -18,6 +18,7 @@ step; the TrainState is donated so parameters update in place in HBM.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import flax.struct
@@ -289,6 +290,52 @@ def _discriminator_loss_fn(disc_params, audio_c, fake_c, cfg: GANTaskConfig):
     loss_all = loss_all / len(real_outs)
     metrics["train/discriminator/all"] = loss_all
     return loss_all, metrics
+
+
+def make_train_step_split(cfg: GANTaskConfig):
+    """G and D phases as two separately-jitted programs.
+
+    Semantically identical to the fused step (same ordering, same crop, fake
+    stop-gradient'ed into D).  Exists because one fused fwd+bwd over the
+    generator AND the 12-discriminator ensemble is a very large XLA program;
+    on build hosts with constrained compiler memory the two halves compile
+    where the single program cannot.  Prefer the fused step elsewhere.
+    """
+    tx = make_optimizer(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def g_phase(state: TrainState, batch: dict):
+        audio, lengths = batch["audio"], batch["lengths"]
+        mask = sequence_mask(lengths, audio.shape[2])
+        rng, step_rng = jax.random.split(state.rng)
+        (loss_g, (g_metrics, audio_c, fake_c, new_extra)), grads_g = jax.value_and_grad(
+            _generator_loss, has_aux=True
+        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra)
+        updates_g, opt_g = tx.update(grads_g, state.opt_g, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, updates_g)
+        g_metrics["train/generator/grad_norm"] = optax.global_norm(grads_g)
+        g_metrics["lr"] = warmup_cosine(state.step, cfg.schedule)
+        state = state.replace(gen_params=gen_params, opt_g=opt_g, rng=rng, extra=new_extra)
+        return state, g_metrics, audio_c, fake_c
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def d_phase(state: TrainState, audio_c, fake_c):
+        (loss_d, d_metrics), grads_d = jax.value_and_grad(_discriminator_loss_fn, has_aux=True)(
+            state.disc_params, audio_c, fake_c, cfg
+        )
+        updates_d, opt_d = tx.update(grads_d, state.opt_d, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, updates_d)
+        for key in grads_d:
+            d_metrics[f"train/discriminator/grad_norm_{key}"] = optax.global_norm(grads_d[key])
+        state = state.replace(step=state.step + 1, disc_params=disc_params, opt_d=opt_d)
+        return state, d_metrics
+
+    def step(state: TrainState, batch: dict):
+        state, g_metrics, audio_c, fake_c = g_phase(state, batch)
+        state, d_metrics = d_phase(state, audio_c, fake_c)
+        return state, {**g_metrics, **d_metrics}
+
+    return step
 
 
 def make_train_step(cfg: GANTaskConfig):
