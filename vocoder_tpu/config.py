@@ -179,6 +179,7 @@ class RunConfig:
     workdir: str = "logs/train"
     profile_steps: tuple | None = None  # (start, stop) -> jax.profiler trace into workdir/profile
     early_stop_patience: int | None = None  # validations without val-mel improvement (callbacks/early_stopping.yaml)
+    split_step: bool = False  # compile G/D phases separately (compile-memory-limited hosts)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -128,7 +128,10 @@ def train(cfg: TrainConfig) -> gan.TrainState:
     )
     state = shard_train_state(state, mesh)
 
-    step_fn = jax.jit(gan.make_train_step(task), donate_argnums=0)
+    if cfg.run.split_step:
+        step_fn = gan.make_train_step_split(task)  # two jit programs (see gan.py)
+    else:
+        step_fn = jax.jit(gan.make_train_step(task), donate_argnums=0)
     eval_fn = jax.jit(gan.make_eval_step(task))
 
     sample_fn = _build_train_sampler(cfg)
