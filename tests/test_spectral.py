@@ -8,6 +8,7 @@ Oracles mirror the exact reference semantics:
 """
 
 import jax.numpy as jnp
+import jax
 import numpy as np
 import pytest
 import torch
@@ -233,3 +234,30 @@ def test_overlap_add_general_matches_fast_path():
     for f in range(7):
         want[:, f * hop : f * hop + 32] += fnp[:, f]
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_plain_mag_gradient_finite_on_silence():
+    # Regression: torch.norm's subgradient at 0 is 0; a zero-power bin must
+    # not NaN the gradient (this once NaN'ed the entire generator grad
+    # through the MRD discriminator path).
+    x = jnp.zeros((1, 1024))  # all-silent input -> many zero-power bins
+
+    def loss(x):
+        m = stft_magnitude(x, n_fft=256, hop_length=64, win_length=128, padding="same_nfft", mag_mode="plain", window="boxcar")
+        return jnp.sum(m)
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_frame_signal_matches_naive():
+    from vocoder_tpu.ops.spectral import frame_signal
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 103)), jnp.float32)
+    for n_fft, hop in [(32, 8), (48, 20), (64, 64), (30, 7)]:
+        f = (103 - n_fft) // hop + 1
+        got = np.asarray(frame_signal(x, n_fft, hop))
+        want = np.stack([np.asarray(x)[:, i * hop : i * hop + n_fft] for i in range(f)], axis=1)
+        assert got.shape == want.shape == (2, f, n_fft), (n_fft, hop)
+        np.testing.assert_array_equal(got, want)
