@@ -149,6 +149,24 @@ def train(cfg: TrainConfig) -> gan.TrainState:
     val_batches = _build_val_batches(cfg)
 
     log(f"starting training at step {start_step} / {cfg.run.max_steps}")
+
+    # Warm the compile; if the single fused program exhausts the compiler
+    # (seen on remote-compile hosts: SIGKILL'ed helper), fall back to the
+    # numerically-identical split-phase compile.
+    if start_step < cfg.run.max_steps:
+        first_batch = next(prefetcher)
+        if not cfg.run.split_step:
+            try:
+                state, metrics = step_fn(state, first_batch)
+            except Exception as e:  # jax.errors.JaxRuntimeError from the compiler
+                log(f"fused train step failed to compile ({type(e).__name__}); retrying split-phase")
+                step_fn = gan.make_train_step_split(task)
+                state, metrics = step_fn(state, first_batch)
+        else:
+            state, metrics = step_fn(state, first_batch)
+        ckpt.save(int(state.step), state)
+        start_step += 1
+
     t0 = time.perf_counter()
     window = max(cfg.run.log_interval, 1)
     profile = cfg.run.profile_steps  # jax.profiler trace window (SURVEY.md §5.1 gap)
