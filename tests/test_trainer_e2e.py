@@ -79,6 +79,9 @@ def test_infer_cli_roundtrip(wav_dir, tmp_path):
     tiny = cfg.task
     orig = infer_cli.build_task_config
     infer_cli.build_task_config = lambda *a, **k: tiny
+    # Stereo input runs channels as a batch (test.py:56-60 semantics).
+    stereo = np.stack([np.sin(np.arange(4000) / 20), np.cos(np.arange(4000) / 30)]).astype(np.float32) * 0.4
+    write_wav(wav_dir / "stereo.wav", stereo, 8000)
     try:
         out_dir = tmp_path / "out"
         infer_cli.main(
@@ -94,12 +97,14 @@ def test_infer_cli_roundtrip(wav_dir, tmp_path):
             ]
         )
         outs = sorted(out_dir.glob("*.wav"))
-        assert len(outs) == 4
+        assert len(outs) == 5
         from vocoder_tpu.data.audio_io import read_wav
 
         audio, sr = read_wav(outs[0])
         assert sr == tiny.sampling_rate
         assert audio.shape[-1] > 0
+        stereo_out, _ = read_wav(out_dir / "stereo.wav")
+        assert stereo_out.shape[0] == 2
     finally:
         infer_cli.build_task_config = orig
 

@@ -82,7 +82,8 @@ def main(argv=None):
         suffix = f.suffix.lower()
         if suffix in AUDIO_EXTENSIONS:
             audio, sr = read_wav(f)
-            audio = audio.mean(axis=0, keepdims=True)
+            # Multi-channel files run as a batch, one channel per item
+            # (test.py:56-60 semantics), and write back multi-channel.
             audio = resample(audio, sr, task.sampling_rate)
             if args.pitch_shift:
                 ratio = 2 ** (args.pitch_shift / 12)
