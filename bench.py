@@ -1,7 +1,7 @@
 """Benchmark: generated audio-seconds per second per chip (HiFiGAN inference).
 
 Runs the flagship full-size 44.1 kHz HiFiGAN generator (BASELINE.md config 1)
-in throughput mode — bf16 weights/activations, batch 64 of ~3 s utterances —
+in throughput mode — folded weight norm, bf16, batch 128 of ~3 s utterances —
 and prints ONE JSON line.
 
 The reference publishes no numbers (BASELINE.json "published": {}), so
@@ -29,9 +29,10 @@ def main():
 
     cfg = hifigan.HiFiGANConfig()  # 44.1 kHz, hop 512, 512 channels
     params = hifigan.init(jax.random.key(0), cfg)
+    params = nn.fold_weight_norm(params)  # inference mode (remove_parametrizations analogue)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    batch, frames, sr = 64, 256, 44100
+    batch, frames, sr = 128, 256, 44100
     audio_seconds_per_call = batch * frames * cfg.hop_length / sr  # ~190 s
 
     @jax.jit
