@@ -147,3 +147,21 @@ def test_split_step_matches_fused():
         np.testing.assert_allclose(float(m_fused[k]), float(m_split[k]), rtol=1e-5, err_msg=k)
     for a, b in zip(jax.tree.leaves(s_fused.gen_params), jax.tree.leaves(s_split.gen_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_mixed_precision_train_step():
+    cfg = tiny_cfg().replace(compute_dtype="bfloat16")
+    state = gan.create_train_state(jax.random.key(0), cfg)
+    step = jax.jit(gan.make_train_step(cfg))
+    t = cfg.hop_length * cfg.num_frames
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((2, 1, t)) * 0.3, jnp.float32),
+        "lengths": jnp.asarray([t, t]),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["train/generator/all"]))
+    assert np.isfinite(float(metrics["train/discriminator/all"]))
+    # Master params and optimizer state stay fp32.
+    for leaf in jax.tree.leaves(state.gen_params):
+        assert leaf.dtype == jnp.float32

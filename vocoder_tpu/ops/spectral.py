@@ -203,7 +203,7 @@ def stft_reim(
     """Real/imag STFT of (B, T) audio -> two (B, bins, frames) arrays."""
     x = _pad_signal(x, padding, n_fft, hop_length, win_length)
     frames = frame_signal(x, n_fft, hop_length)  # (B, F, n_fft)
-    basis = jnp.asarray(_dft_conv_basis(n_fft, win_length, window))[:, 0, :]  # (n_fft, 2*bins)
+    basis = jnp.asarray(_dft_conv_basis(n_fft, win_length, window))[:, 0, :].astype(x.dtype)
     out = jnp.einsum("bfn,nk->bfk", frames, basis, precision=precision)
     bins = n_fft // 2 + 1
     re = jnp.transpose(out[..., :bins], (0, 2, 1))
@@ -271,7 +271,7 @@ def log_mel_spectrogram(
         mag_mode="eps_inside",
         precision=precision,
     )  # (B, bins, frames)
-    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max))
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max)).astype(mag.dtype)
     mel = jnp.einsum("bft,fm->bmt", mag, fb, precision=precision)
     return jnp.log(jnp.maximum(mel, 1e-5))
 
@@ -350,9 +350,9 @@ def istft_same(
         raise NotImplementedError("istft_same requires win_length == n_fft")
     b, bins, f = re.shape
     coeffs = jnp.concatenate([re, im], axis=1)  # (B, 2*bins, F)
-    basis = jnp.asarray(_idft_basis(n_fft))  # (2*bins, n_fft)
+    basis = jnp.asarray(_idft_basis(n_fft)).astype(coeffs.dtype)  # (2*bins, n_fft)
     frames = jnp.einsum("bkf,kn->bfn", coeffs, basis, precision=precision)
-    win = jnp.asarray(hann_window(win_length))
+    win = jnp.asarray(hann_window(win_length)).astype(frames.dtype)
     frames = frames * win[None, None, :]
     y = overlap_add(frames, hop_length)
 

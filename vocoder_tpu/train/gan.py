@@ -71,6 +71,12 @@ class GANTaskConfig:
     stft_weight: float = 2.5
     mel_weight: float = 45.0
 
+    # Mixed precision: params/optimizer state stay fp32; generator and
+    # discriminator forward/backward run in bf16 (losses in fp32).  The
+    # reference trains pure fp32/tf32 (trainer/default.yaml precision "32");
+    # this is the TPU-native speed mode.
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+
     def replace(self, **kw) -> "GANTaskConfig":
         return dataclasses.replace(self, **kw)
 
@@ -159,11 +165,23 @@ def loss_mel_transform(cfg: GANTaskConfig, audio: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree
+    )
+
+
 def _discs_apply(disc_params: dict, audio: jnp.ndarray, cfg: GANTaskConfig) -> dict:
-    return {
+    if cfg.compute_dtype == "bfloat16":
+        disc_params = _cast_floats(disc_params, jnp.bfloat16)
+        audio = audio.astype(jnp.bfloat16)
+    outs = {
         "mpd": mpd.apply(disc_params["mpd"], audio, cfg.mpd),
         "mrd": mrd.apply(disc_params["mrd"], audio, cfg.mrd),
     }
+    if cfg.compute_dtype == "bfloat16":
+        outs = _cast_floats(outs, jnp.float32)  # losses accumulate in fp32
+    return outs
 
 
 def generator_forward(
@@ -182,8 +200,11 @@ def generator_forward(
         gen = get_generator(cfg.generator_name)
         if input_spec is None:
             input_spec = input_transform(cfg, audio[:, 0, :])
+        if cfg.compute_dtype == "bfloat16":
+            gen_params = _cast_floats(gen_params, jnp.bfloat16)
+            input_spec = input_spec.astype(jnp.bfloat16)
         fake = gen.apply(gen_params, input_spec, cfg.generator, training=training, rng=rng)
-        return fake, jnp.zeros(()), extra, {}
+        return fake.astype(jnp.float32), jnp.zeros(()), extra, {}
 
     from vocoder_tpu.models import vae as vae_mod
 
