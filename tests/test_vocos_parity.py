@@ -120,3 +120,18 @@ def test_istft_head_noninteger_hop_ratio():
     got = np.asarray(vocos.istft_head_apply(params, jnp.asarray(x).transpose(0, 2, 1), cfg))
     assert got.shape == want.shape == (1, 9 * hop)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_vocos_huge_shapes_and_param_count():
+    """North-star config (vocos-huge, configs/model/generator/vocos-huge.yaml):
+    validate the full parameter tree and forward shapes WITHOUT allocating
+    the ~650M params, via jax.eval_shape."""
+    cfg = vocos.VocosConfig.huge()
+    params_shape = jax.eval_shape(lambda k: vocos.init(k, cfg), jax.random.key(0))
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params_shape))
+    assert 4e8 < n_params < 1e9, n_params  # largest model in the repo
+
+    out = jax.eval_shape(
+        lambda p, m: vocos.apply(p, m, cfg), params_shape, jax.ShapeDtypeStruct((2, 128, 32), jnp.float32)
+    )
+    assert out.shape == (2, 1, 32 * 512)

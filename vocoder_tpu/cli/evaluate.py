@@ -80,6 +80,10 @@ def main(argv=None):
                 scores["pesq_nb"].append(pesq_score(s, p, args.sr, "nb"))
                 scores["pesq_wb"].append(pesq_score(s, p, args.sr, "wb"))
             scores["spec_diff"].append(spec_difference(s, p, args.sr))
+            from vocoder_tpu.eval_metrics import mcd, si_sdr
+
+            scores["si_sdr"].append(si_sdr(s, p))
+            scores["mcd"].append(mcd(s, p, args.sr))
         except Exception:
             print(f"Error processing {f}")
             continue
