@@ -59,6 +59,13 @@ def main(argv=None):
     ap.add_argument("--input", required=True, help="audio/mel file or directory")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--pitch-shift", type=float, default=0.0)
+    ap.add_argument(
+        "--chunk-frames",
+        type=int,
+        default=2048,
+        help="mel frames per synthesis chunk for long files (0 = single pass); "
+        "keeps XLA shapes static and HBM bounded (SURVEY.md §5.7)",
+    )
     args = ap.parse_args(argv)
 
     task = build_task_config(args.model, args.resolution)
@@ -109,7 +116,25 @@ def main(argv=None):
             continue
 
         start = time.time()
-        fake = np.asarray(synthesize(mel))  # (B, 1, T)
+        if args.chunk_frames and mel.shape[2] > args.chunk_frames:
+            from vocoder_tpu.parallel.streaming import chunked_synthesis
+
+            fake = np.concatenate(
+                [
+                    np.asarray(
+                        chunked_synthesis(
+                            synthesize,
+                            mel[i : i + 1],
+                            hop_length=task.hop_length,
+                            chunk_frames=args.chunk_frames,
+                            overlap_frames=32,
+                        )
+                    )
+                    for i in range(mel.shape[0])
+                ]
+            )
+        else:
+            fake = np.asarray(synthesize(mel))  # (B, 1, T)
         dur = fake.shape[-1] / task.sampling_rate
         log(f"{f.name}: {dur:.2f}s audio in {time.time() - start:.2f}s")
 
