@@ -39,6 +39,12 @@ def load_generator_params(ckpt_path: str, task_cfg, fold: bool = True):
         sd = ckpt.get("state_dict", ckpt)
         assert gen.from_torch is not None, f"no torch converter for {task_cfg.generator_name}"
         params = gen.from_torch(sd, task_cfg.generator, prefix="generator.")
+    elif (path / "generator_params").exists():
+        # Params-only export from cli/convert_ckpt.py.
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            params = ckptr.restore(path.absolute() / "generator_params")
     else:
         from vocoder_tpu.utils.checkpoint import CheckpointManager, abstract_like
 
