@@ -165,3 +165,34 @@ def test_bf16_mixed_precision_train_step():
     # Master params and optimizer state stay fp32.
     for leaf in jax.tree.leaves(state.gen_params):
         assert leaf.dtype == jnp.float32
+
+
+def test_no_recompile_on_second_step():
+    """Weak-typed init leaves once forced a full recompile at step 2 (the
+    optimizer update strengthens them); assert step 1 and step 2 hit the same
+    compiled executable."""
+    from vocoder_tpu.models import vocos as vocos_mod
+    from vocoder_tpu.models import convnext as convnext_mod
+
+    cfg = tiny_cfg().replace(
+        generator_name="vocos",
+        generator=vocos_mod.VocosConfig(
+            backbone=convnext_mod.ConvNeXtConfig(input_channels=8, depths=(1,), dims=(16,)),
+            head=vocos_mod.ISTFTHeadConfig(dim=16, n_fft=16, hop_length=4, win_length=16),
+        ),
+    )
+    state = gan.create_train_state(jax.random.key(0), cfg)
+    step = jax.jit(gan.make_train_step(cfg))
+    t = cfg.hop_length * cfg.num_frames
+    batch = {
+        "audio": jnp.zeros((2, 1, t), jnp.float32) + 0.1,
+        "lengths": jnp.asarray([t, t]),
+    }
+    state, _ = step(state, batch)
+    n_compiles = step._cache_size() if hasattr(step, "_cache_size") else None
+    state, _ = step(state, batch)
+    if n_compiles is not None:
+        assert step._cache_size() == n_compiles, "train step recompiled at step 2"
+    else:  # fallback: compare aval weak types before/after
+        for leaf in jax.tree.leaves(state.gen_params):
+            assert not getattr(leaf, "weak_type", False)

@@ -48,7 +48,10 @@ def _block_init(key, dim: int, cfg: ConvNeXtConfig) -> dict:
         "pwconv2": nn.linear_init(k3, hidden, dim, init="trunc_normal"),
     }
     if cfg.layer_scale_init_value > 0:
-        p["gamma"] = jnp.full((dim,), cfg.layer_scale_init_value)
+        # NB: explicit dtype — jnp.full with a python float yields a
+        # weak-typed array, which changes type after the first optimizer
+        # update and forces a full train-step recompile at step 2.
+        p["gamma"] = jnp.full((dim,), cfg.layer_scale_init_value, dtype=jnp.float32)
     return p
 
 

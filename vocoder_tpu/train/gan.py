@@ -118,6 +118,14 @@ def create_train_state(key, cfg: GANTaskConfig) -> TrainState:
     else:
         raise ValueError(cfg.family)
     disc_params = {"mpd": mpd.init(kmpd, cfg.mpd), "mrd": mrd.init(kmrd, cfg.mrd)}
+    # Strip weak types: a weak-typed leaf (e.g. from jnp.full with a python
+    # scalar) becomes strong after the first optax update, changing the jit
+    # cache key and recompiling the whole step at step 2.
+    strip = lambda t: jax.tree.map(lambda x: jax.lax.convert_element_type(x, x.dtype), t)
+    gen_params = strip(gen_params)
+    disc_params = strip(disc_params)
+    if extra is not None:
+        extra = strip(extra)
     tx = make_optimizer(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
