@@ -72,3 +72,12 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_bench_scaling_harness_runs():
+    from vocoder_tpu.cli import bench_scaling
+
+    results = bench_scaling.main(["--meshes", "1,2", "--tiny", "--batch", "2", "--iters", "2"])
+    assert len(results) == 2
+    assert results[0]["data_parallel"] == 1 and results[1]["data_parallel"] == 2
+    assert all(r["audio_s_per_s"] > 0 for r in results)
