@@ -143,3 +143,14 @@ def test_build_task_config_presets():
     t24 = build_task_config("hifigan", "24000_256_1024")
     assert t24.sampling_rate == 24000 and t24.num_mels == 100
     assert dataclasses.is_dataclass(t24.generator)
+
+
+def test_upsample_rates_factorization():
+    from math import prod
+
+    from vocoder_tpu.config import upsample_rates_for_hop
+
+    for hop in [512, 256, 2048, 640, 100, 960]:
+        rates, kernels = upsample_rates_for_hop(hop)
+        assert prod(rates) == hop, hop
+        assert all(k == 2 * r for r, k in zip(rates, kernels)) or hop in (512, 256, 2048, 640)
