@@ -115,3 +115,23 @@ def test_bigvgan_init_runs():
     params = bigvgan.init(jax.random.key(0), cfg)
     out = bigvgan.apply(params, jnp.zeros((1, SMALL["num_mels"], 6)), cfg)
     assert out.shape == (1, 1, 6 * SMALL["hop_length"])
+
+
+def test_polyphase_aa_snake_matches_composition():
+    from vocoder_tpu.ops.antialias import aa_snake_polyphase
+
+    rng = np.random.default_rng(7)
+    for t, c, logscale in [(128, 16, True), (96, 8, False), (40, 4, True)]:
+        x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
+        alpha = jnp.asarray(rng.standard_normal(c) * 0.3, jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(c) * 0.3, jnp.float32)
+        a2 = jnp.exp(alpha)[None, :] if logscale else alpha[None, :]
+        b2 = jnp.exp(beta)[None, :] if logscale else beta[None, :]
+        from vocoder_tpu.ops.antialias import downsample1d, upsample1d
+
+        y = upsample1d(x, 2)
+        y = y + (1.0 / (b2 + 1e-9)) * jnp.square(jnp.sin(y * a2))
+        want = np.asarray(downsample1d(y, 2))
+        got = np.asarray(aa_snake_polyphase(x, alpha, beta, logscale))
+        assert got.shape == want.shape, (t, c)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5, err_msg=f"{t},{c},{logscale}")

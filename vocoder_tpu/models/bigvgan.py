@@ -60,22 +60,28 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
 
 
-# The fused Pallas kernel (ops/pallas/aa_snake.py) computes up->snake->down
-# in one VMEM pass and is bit-exact on TPU, but measured on v5e the XLA
-# composition is currently ~7% faster end to end (677 vs 727 ms/call, BigVGAN
-# bf16 b16) — XLA's conv fusion already keeps the 2x intermediates on-chip
-# for these shapes, and the kernel only covers the C>=64 stages.  Default off;
-# flip on for backends/shapes where the fusion wins.
-USE_PALLAS_AA = False
+# Anti-aliased activation backends, fastest first (all numerically
+# equivalent; measured on v5e bf16 b16, BigVGAN end to end):
+#   "polyphase" — ops/antialias.aa_snake_polyphase: 1x-rate 6-tap depthwise
+#                 correlations, 2x intermediate never materialised (default)
+#   "compose"   — up(2x) FIR -> snake -> down(2x) FIR (the reference
+#                 alias_free_torch structure): 677 ms
+#   "pallas"    — ops/pallas/aa_snake.py fused VMEM kernel: 727 ms (covers
+#                 C>=64 only; kept as the kernel-programming reference)
+AA_BACKEND = "polyphase"
 
 
 def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     """Anti-aliased activation: 2x upsample -> snake -> 2x downsample."""
-    if USE_PALLAS_AA and jax.default_backend() != "cpu":
+    alpha = p["alpha"]
+    beta = p.get("beta", alpha)
+    if AA_BACKEND == "polyphase":
+        from vocoder_tpu.ops.antialias import aa_snake_polyphase
+
+        return aa_snake_polyphase(x, alpha, beta, logscale)
+    if AA_BACKEND == "pallas" and jax.default_backend() != "cpu":
         from vocoder_tpu.ops.pallas.aa_snake import fused_aa_snake
 
-        alpha = p["alpha"]
-        beta = p.get("beta", alpha)
         return fused_aa_snake(x, alpha, beta, logscale)
     return downsample1d(_snake_apply(p, upsample1d(x, 2), logscale), 2)
 
