@@ -138,6 +138,20 @@ def create_train_state(key, cfg: GANTaskConfig) -> TrainState:
     )
 
 
+def create_train_state_sharded(key, cfg: GANTaskConfig, mesh) -> TrainState:
+    """Initialise the TrainState directly INTO the mesh layout (GSPMD init).
+
+    jit with out_shardings materialises every leaf on its owning devices —
+    the only correct path on multi-host (plain device_put cannot target
+    non-addressable devices), and equivalent to create+shard on one host.
+    """
+    from vocoder_tpu.parallel.mesh import infer_param_specs
+
+    abstract = jax.eval_shape(lambda k: create_train_state(k, cfg), key)
+    shardings = infer_param_specs(abstract, mesh)
+    return jax.jit(lambda k: create_train_state(k, cfg), out_shardings=shardings)(key)
+
+
 def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
     """(B,) -> (B, 1, T) float mask (utils/mask.py:4-10 + gan.py:238)."""
     idx = jnp.arange(max_length)[None, :]

@@ -108,7 +108,9 @@ def train(cfg: TrainConfig) -> gan.TrainState:
             _json.dumps(_dc.asdict(cfg), indent=2, default=str)
         )
 
-    state = gan.create_train_state(jax.random.key(cfg.run.seed), task)
+    # GSPMD init: leaves materialise directly into the mesh layout (works on
+    # one host AND across processes; plain device_put cannot).
+    state = gan.create_train_state_sharded(jax.random.key(cfg.run.seed), task, mesh)
 
     # Auto-resume (train.py:81-95 semantics).
     start_step = 0
@@ -116,9 +118,11 @@ def train(cfg: TrainConfig) -> gan.TrainState:
     if cfg.run.ckpt_path is not None and cfg.run.resume_weights_only:
         other = CheckpointManager(cfg.run.ckpt_path)
         state = other.restore_weights_only(state)
+        state = shard_train_state(state, mesh)
         log(f"resumed weights only from {cfg.run.ckpt_path}")
     elif latest is not None:
         state = ckpt.restore(abstract_like(state))
+        state = shard_train_state(state, mesh)
         start_step = int(state.step)
         log(f"auto-resumed from step {start_step}")
 
@@ -126,7 +130,6 @@ def train(cfg: TrainConfig) -> gan.TrainState:
         f"params: generator {nn.param_count(state.gen_params):,}, "
         f"discriminators {nn.param_count(state.disc_params):,}"
     )
-    state = shard_train_state(state, mesh)
 
     if cfg.run.split_step:
         step_fn = gan.make_train_step_split(task)  # two jit programs (see gan.py)
