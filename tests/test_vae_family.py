@@ -137,3 +137,47 @@ def test_vqvae_codec_encode_decode_api():
     assert codes.shape == (1, 1, 12)
     audio = decode_from_codes(params, vq_state, codes, cfg.generator)
     assert audio.shape == (1, 1, 12 * cfg.hop_length)
+
+
+def test_codec_cli_roundtrip(tmp_path):
+    import numpy as np
+
+    from vocoder_tpu.data.audio_io import write_wav
+    from vocoder_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = _tiny_family_cfg("vqvae")
+    state = gan.create_train_state(jax.random.key(0), cfg)
+    ckpt_dir = tmp_path / "ckpt"
+    mgr = CheckpointManager(ckpt_dir, save_interval_steps=1)
+    mgr.save(0, state, force=True)
+    mgr.wait()
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    sr = cfg.sampling_rate
+    wave = 0.3 * np.sin(2 * np.pi * 200 * np.arange(sr // 4) / sr)
+    write_wav(wav_dir / "a.wav", wave.astype(np.float32), sr)
+
+    import vocoder_tpu.cli.codec as codec_cli
+
+    orig = codec_cli.build_task_config
+    codec_cli.build_task_config = lambda *a, **k: cfg
+    try:
+        codes_dir = tmp_path / "codes"
+        codec_cli.main(["encode", "--ckpt", str(ckpt_dir), "--input", str(wav_dir), "--output", str(codes_dir)])
+        code_files = list(codes_dir.glob("*.codes.npy"))
+        assert len(code_files) == 1
+        codes = np.load(code_files[0])
+        assert codes.ndim == 3 and codes.dtype == np.int32
+
+        out_dir = tmp_path / "decoded"
+        codec_cli.main(["decode", "--ckpt", str(ckpt_dir), "--input", str(codes_dir), "--output", str(out_dir)])
+        outs = list(out_dir.glob("*.wav"))
+        assert len(outs) == 1
+        from vocoder_tpu.data.audio_io import read_wav
+
+        audio, out_sr = read_wav(outs[0])
+        assert out_sr == sr
+        assert audio.shape[-1] == codes.shape[-1] * cfg.hop_length
+    finally:
+        codec_cli.build_task_config = orig

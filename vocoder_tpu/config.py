@@ -134,9 +134,24 @@ def _gen_firefly(res: dict):
     )
 
 
+def _gen_vocos_small(res: dict):
+    # The reference's vocos-small.yaml cannot instantiate (drift D1: missing
+    # VocosGenerator + wrong kwarg); this is the working equivalent of its
+    # intent: a single-stage depth-8 dim-512 ConvNeXt + iSTFT head.
+    return "vocos", vocos.VocosConfig(
+        backbone=convnext.ConvNeXtConfig(
+            input_channels=res["num_mels"], depths=(8,), dims=(512,), drop_path_rate=0.1
+        ),
+        head=vocos.ISTFTHeadConfig(
+            dim=512, n_fft=res["n_fft"], hop_length=res["hop_length"], win_length=res["win_length"]
+        ),
+    )
+
+
 GENERATOR_PRESETS = {
     "hifigan": _gen_hifigan,
     "vocos": _gen_vocos,
+    "vocos_small": _gen_vocos_small,
     "vocos_huge": _gen_vocos_huge,
     "bigvgan": _gen_bigvgan,
     "refinegan": _gen_refinegan,
