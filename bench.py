@@ -36,8 +36,11 @@ def main():
     audio_seconds_per_call = batch * frames * cfg.hop_length / sr  # ~190 s
 
     @jax.jit
+    def _run(p, mel):  # params as args (large closure constants wedge the compiler)
+        return hifigan.apply(p, mel, cfg)
+
     def run(mel):
-        return hifigan.apply(params, mel, cfg)
+        return _run(params, mel)
 
     mel = jnp.zeros((batch, cfg.num_mels, frames), jnp.bfloat16)
     float(jnp.sum(run(mel)))  # compile + warmup (compiles are slow on this link)

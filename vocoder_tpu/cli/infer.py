@@ -78,9 +78,14 @@ def main(argv=None):
     gen = get_generator(task.generator_name)
     params = load_generator_params(args.ckpt, task)
 
+    # Params are ARGUMENTS, not closure constants: giant baked-in weight
+    # constants (e.g. vocos-huge's 1.3 GB) can wedge the XLA compiler.
     @jax.jit
+    def _synthesize(p, mel):
+        return gen.apply(p, mel, task.generator)
+
     def synthesize(mel):
-        return gen.apply(params, mel, task.generator)
+        return _synthesize(params, mel)
 
     @jax.jit
     def featurize(audio):  # (B, T) -> (B, n_mels, frames)
