@@ -42,7 +42,7 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from vocoder_tpu.data.audio_io import AUDIO_EXTENSIONS, read_wav, write_wav
+    from vocoder_tpu.data.audio_io import AUDIO_EXTENSIONS, read_audio, write_wav
     from vocoder_tpu.data.resample import resample
     from vocoder_tpu.models.vae import decode_from_codes, encode_to_codes
     from vocoder_tpu.ops import linear_spectrogram
@@ -57,7 +57,7 @@ def main(argv=None):
         if args.mode == "encode":
             if f.suffix.lower() not in AUDIO_EXTENSIONS:
                 continue
-            audio, sr = read_wav(f)
+            audio, sr = read_audio(f)
             audio = resample(audio.mean(0), sr, task.sampling_rate)
             audio = np.pad(audio, (0, (-len(audio)) % task.hop_length))
             spec = linear_spectrogram(

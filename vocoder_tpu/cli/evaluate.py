@@ -2,9 +2,10 @@
 
 The analogue of fish_vocoder/eval.py:44-97: mel-L1 ("spec_diff") with the
 fixed 24 kHz / 1024-fft / 256-hop / 128-mel analyzer, plus PESQ-NB (8 kHz)
-and PESQ-WB (16 kHz) when the ITU-T P.862 C extension (`pesq`) is importable
-— it is a host-side perceptual metric, not a TPU op (SURVEY.md §2.9), and is
-gated cleanly when absent.
+and PESQ-WB (16 kHz).  PESQ always runs: the native P.862 implementation
+(vocoder_tpu/pesq_native.py) needs no C extension; the ITU extension is used
+automatically if it ever becomes importable.  SI-SDR and MCD round out the
+metric set.
 
     python -m vocoder_tpu.cli.evaluate SOURCE_DIR GENERATED_DIR --sr 24000
 """
@@ -18,16 +19,11 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-from vocoder_tpu.data.audio_io import read_wav
+from vocoder_tpu.data.audio_io import read_audio
 from vocoder_tpu.data.resample import resample
 from vocoder_tpu.ops import log_mel_spectrogram
 
-try:
-    from pesq import pesq as _pesq  # optional C extension
-
-    HAVE_PESQ = True
-except ImportError:
-    HAVE_PESQ = False
+from vocoder_tpu.eval_metrics import pesq as _pesq  # ITU C ext if present, else native P.862
 
 
 def spec_difference(source: np.ndarray, generated: np.ndarray, sr: int) -> float:
@@ -42,7 +38,7 @@ def pesq_score(target: np.ndarray, preds: np.ndarray, sr: int, mode: str) -> flo
     rate = 8000 if mode == "nb" else 16000
     t = resample(target, sr, rate)
     p = resample(preds, sr, rate)
-    return float(_pesq(rate, t, p, mode))
+    return _pesq(t, p, rate, mode)
 
 
 def main(argv=None):
@@ -59,6 +55,7 @@ def main(argv=None):
     assert source.is_dir() and generated.is_dir()
     files = sorted(source.rglob(args.glob_pattern))
     scores = defaultdict(list)
+    errors = 0
 
     for f in files:
         g = generated / f.relative_to(source)
@@ -67,16 +64,16 @@ def main(argv=None):
         if not g.exists():
             print(f"{g} does not exist")
             continue
-        s_audio, s_sr = read_wav(f)
-        g_audio, g_sr = read_wav(g)
-        s = resample(s_audio.mean(0), s_sr, args.sr)
-        p = resample(g_audio.mean(0), g_sr, args.sr)
-        n = min(len(s), len(p))
-        assert max(len(s) - n, len(p) - n) < 1000
-        s, p = s[:n], p[:n]
-
         try:
-            if args.is_vocal and HAVE_PESQ:
+            s_audio, s_sr = read_audio(f)
+            g_audio, g_sr = read_audio(g)
+            s = resample(s_audio.mean(0), s_sr, args.sr)
+            p = resample(g_audio.mean(0), g_sr, args.sr)
+            n = min(len(s), len(p))
+            assert max(len(s) - n, len(p) - n) < 1000, "length mismatch > 1000 samples"
+            s, p = s[:n], p[:n]
+
+            if args.is_vocal:
                 scores["pesq_nb"].append(pesq_score(s, p, args.sr, "nb"))
                 scores["pesq_wb"].append(pesq_score(s, p, args.sr, "wb"))
             scores["spec_diff"].append(spec_difference(s, p, args.sr))
@@ -84,12 +81,18 @@ def main(argv=None):
 
             scores["si_sdr"].append(si_sdr(s, p))
             scores["mcd"].append(mcd(s, p, args.sr))
-        except Exception:
-            print(f"Error processing {f}")
+        except Exception as e:
+            # Per-file tolerance for corrupt clips, but LOUD (the reference's
+            # bare `print` at eval.py:87-89 can mask a broken metric as "a few
+            # skipped files") and fail-fast when everything fails.
+            errors += 1
+            print(f"Error processing {f}: {type(e).__name__}: {e}")
             continue
 
-    if args.is_vocal and not HAVE_PESQ:
-        print("note: `pesq` C extension not installed; PESQ metrics skipped")
+    if errors:
+        print(f"warning: {errors}/{len(files)} file pairs failed to evaluate")
+    if files and errors == len(files):
+        raise SystemExit("every file pair failed — the metric pipeline is broken, not the data")
     print("Average scores:")
     for k, v in scores.items():
         print(f"    {k}: {np.mean(v):.4f}")

@@ -21,7 +21,7 @@ import numpy as np
 
 from vocoder_tpu import nn
 from vocoder_tpu.config import build_task_config
-from vocoder_tpu.data.audio_io import AUDIO_EXTENSIONS, read_wav, write_wav
+from vocoder_tpu.data.audio_io import AUDIO_EXTENSIONS, read_audio, write_wav
 from vocoder_tpu.data.resample import resample
 from vocoder_tpu.models.registry import get_generator
 from vocoder_tpu.train import gan
@@ -81,11 +81,11 @@ def main(argv=None):
     # Params are ARGUMENTS, not closure constants: giant baked-in weight
     # constants (e.g. vocos-huge's 1.3 GB) can wedge the XLA compiler.
     @jax.jit
-    def _synthesize(p, mel):
-        return gen.apply(p, mel, task.generator)
+    def _synthesize(p, mel, template=None):
+        return gen.apply(p, mel, task.generator, template=template)
 
-    def synthesize(mel):
-        return _synthesize(params, mel)
+    def synthesize(mel, template=None):
+        return _synthesize(params, mel, template)
 
     @jax.jit
     def featurize(audio):  # (B, T) -> (B, n_mels, frames)
@@ -99,7 +99,7 @@ def main(argv=None):
     for f in files:
         suffix = f.suffix.lower()
         if suffix in AUDIO_EXTENSIONS:
-            audio, sr = read_wav(f)
+            audio, sr = read_audio(f)
             # Multi-channel files run as a batch, one channel per item
             # (test.py:56-60 semantics), and write back multi-channel.
             audio = resample(audio, sr, task.sampling_rate)
@@ -111,6 +111,22 @@ def main(argv=None):
             pad = (-t) % task.hop_length
             audio = np.pad(audio, ((0, 0), (0, pad)))
             mel = featurize(jnp.asarray(audio))
+            template = None
+            if gan.needs_template(task):
+                from vocoder_tpu.data.f0 import estimate_f0, template_from_f0
+
+                template = jnp.asarray(
+                    np.stack(
+                        [
+                            template_from_f0(
+                                estimate_f0(ch, task.sampling_rate, task.hop_length),
+                                task.sampling_rate,
+                                task.hop_length,
+                            )
+                            for ch in audio
+                        ]
+                    )[:, None, :]
+                )
         elif suffix in (".npy", ".pt", ".pth"):
             if suffix == ".npy":
                 mel_np = np.load(f)
@@ -123,11 +139,17 @@ def main(argv=None):
             if mel_np.shape[-1] == task.num_mels:  # auto-transpose (test.py:82-84)
                 mel_np = mel_np.transpose(0, 2, 1)
             mel = jnp.asarray(mel_np, jnp.float32)
+            template = None
+            if gan.needs_template(task):
+                raise SystemExit(
+                    f"{task.generator_name} needs an f0 template derived from source "
+                    "audio; precomputed-mel input has none. Pass audio files instead."
+                )
         else:
             continue
 
         start = time.time()
-        if args.chunk_frames and mel.shape[2] > args.chunk_frames:
+        if template is None and args.chunk_frames and mel.shape[2] > args.chunk_frames:
             from vocoder_tpu.parallel.streaming import chunked_synthesis
 
             fake = np.concatenate(
@@ -145,7 +167,7 @@ def main(argv=None):
                 ]
             )
         else:
-            fake = np.asarray(synthesize(mel))  # (B, 1, T)
+            fake = np.asarray(synthesize(mel, template))  # (B, 1, T)
         dur = fake.shape[-1] / task.sampling_rate
         log(f"{f.name}: {dur:.2f}s audio in {time.time() - start:.2f}s")
 

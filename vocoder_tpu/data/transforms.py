@@ -17,22 +17,39 @@ from typing import Callable
 
 import numpy as np
 
-from vocoder_tpu.data.audio_io import read_wav
+from vocoder_tpu.data.audio_io import UnsupportedFormatError, read_audio
 from vocoder_tpu.data.resample import resample
 
 
 @dataclass
 class LoadAudio:
-    """Decode + resample + optional mono downmix (load.py:7-29, bug B1 fixed)."""
+    """Decode + resample + optional mono downmix (load.py:7-29, bug B1 fixed).
+
+    The silence fallback exists to survive CORRUPT files mid-epoch without
+    killing the run (load.py:17-21 intent); it never masks an unsupported
+    format — those raise at decode (and datasets reject them at
+    construction).  Every fallback is counted and logged so a rotting corpus
+    is visible, not silent (round-1 weak #1).
+    """
 
     sampling_rate: int = 44100
     to_mono: bool = True
+    fallback_count: int = 0  # corrupt-file silence substitutions so far
 
     def __call__(self, rng: np.random.Generator, path: str) -> np.ndarray:
         try:
-            audio, sr = read_wav(path)
-        except Exception:
+            audio, sr = read_audio(path)
+        except UnsupportedFormatError:
+            raise
+        except Exception as e:
             # Corrupt-file fallback: 10 s of silence at the TARGET rate.
+            self.fallback_count += 1
+            from vocoder_tpu.utils.logging import log
+
+            log(
+                f"LoadAudio: {path}: {type(e).__name__}: {e} — substituting 10 s of "
+                f"silence ({self.fallback_count} fallbacks so far)"
+            )
             audio, sr = np.zeros((1, self.sampling_rate * 10), np.float32), self.sampling_rate
         audio = resample(audio, sr, self.sampling_rate)
         if self.to_mono and audio.shape[0] > 1:

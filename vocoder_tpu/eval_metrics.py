@@ -1,8 +1,9 @@
 """Objective audio metrics (host/JAX, no native deps).
 
-The reference's offline eval is PESQ-NB/WB + mel-L1 (eval.py:15-33).  PESQ is
-an ITU C extension kept gated (SURVEY.md §2.9); alongside it this module adds
-two exactly-specified metrics so the evaluation CLI is useful without it:
+The reference's offline eval is PESQ-NB/WB + mel-L1 (eval.py:15-33).  PESQ
+runs through the native P.862 implementation (vocoder_tpu/pesq_native.py) —
+the ITU C extension is preferred automatically when importable.  Alongside
+it, two exactly-specified metrics:
 
 - SI-SDR (scale-invariant signal-to-distortion ratio, Le Roux et al. 2019)
 - MCD (mel-cepstral distortion over DCT-II of the log-mel, dB)
@@ -13,6 +14,20 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+
+
+def pesq(reference: np.ndarray, estimate: np.ndarray, sample_rate: int, mode: str = "wb") -> float:
+    """PESQ MOS-LQO (P.862.1 nb / P.862.2 wb); prefers the ITU C extension,
+    falls back to the in-repo native implementation.  Inputs must already be
+    at 8 kHz (nb) / 16 kHz (wb), like the C wrapper."""
+    try:
+        from pesq import pesq as _itu_pesq  # C ext, if the env ever has it
+
+        return float(_itu_pesq(sample_rate, np.asarray(reference), np.asarray(estimate), mode))
+    except ImportError:
+        from vocoder_tpu.pesq_native import pesq as _native_pesq
+
+        return float(_native_pesq(reference, estimate, sample_rate, mode))
 
 
 def si_sdr(reference: np.ndarray, estimate: np.ndarray, eps: float = 1e-8) -> float:

@@ -206,8 +206,23 @@ def _discs_apply(disc_params: dict, audio: jnp.ndarray, cfg: GANTaskConfig) -> d
     return outs
 
 
+def needs_template(cfg: GANTaskConfig) -> bool:
+    """Whether the generator consumes an f0-derived template waveform
+    (RefineGAN always, refinegan.py:287-299; HiFiGAN/BigVGAN when
+    use_template=True, hifigan.py:171-204)."""
+    return cfg.generator_name == "refinegan" or bool(getattr(cfg.generator, "use_template", False))
+
+
 def generator_forward(
-    gen_params, audio: jnp.ndarray, cfg: GANTaskConfig, *, training: bool, rng=None, input_spec=None, extra=None
+    gen_params,
+    audio: jnp.ndarray,
+    cfg: GANTaskConfig,
+    *,
+    training: bool,
+    rng=None,
+    input_spec=None,
+    extra=None,
+    template=None,
 ):
     """Family dispatch; returns (fake_audio, base_loss, new_extra, fwd_metrics).
 
@@ -222,10 +237,17 @@ def generator_forward(
         gen = get_generator(cfg.generator_name)
         if input_spec is None:
             input_spec = input_transform(cfg, audio[:, 0, :])
+        if needs_template(cfg) and template is None:
+            raise ValueError(
+                f"{cfg.generator_name} needs an f0 template waveform in the batch "
+                "(data/f0.py builds it; the trainer wires it when needs_template(cfg))"
+            )
         if cfg.compute_dtype == "bfloat16":
             gen_params = _cast_floats(gen_params, jnp.bfloat16)
             input_spec = input_spec.astype(jnp.bfloat16)
-        fake = gen.apply(gen_params, input_spec, cfg.generator, training=training, rng=rng)
+            if template is not None:
+                template = template.astype(jnp.bfloat16)
+        fake = gen.apply(gen_params, input_spec, cfg.generator, template=template, training=training, rng=rng)
         return fake.astype(jnp.float32), jnp.zeros(()), extra, {}
 
     from vocoder_tpu.models import vae as vae_mod
@@ -267,10 +289,10 @@ def generator_forward(
     raise ValueError(cfg.family)
 
 
-def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rng, extra):
+def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rng, extra, template=None):
     r_crop, r_model = jax.random.split(rng)
     fake, base_loss, new_extra, fwd_metrics = generator_forward(
-        gen_params, audio, cfg, training=True, rng=r_model, extra=extra
+        gen_params, audio, cfg, training=True, rng=r_model, extra=extra, template=template
     )
     assert fake.shape == audio.shape, (fake.shape, audio.shape)
 
@@ -353,7 +375,7 @@ def make_train_step_split(cfg: GANTaskConfig):
         rng, step_rng = jax.random.split(state.rng)
         (loss_g, (g_metrics, audio_c, fake_c, new_extra)), grads_g = jax.value_and_grad(
             _generator_loss, has_aux=True
-        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra)
+        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra, batch.get("template"))
         updates_g, opt_g = tx.update(grads_g, state.opt_g, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates_g)
         g_metrics["train/generator/grad_norm"] = optax.global_norm(grads_g)
@@ -394,7 +416,7 @@ def make_train_step(cfg: GANTaskConfig):
         # ---- Generator phase (gan.py:240-255) ----
         (loss_g, (g_metrics, audio_c, fake_c, new_extra)), grads_g = jax.value_and_grad(
             _generator_loss, has_aux=True
-        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra)
+        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra, batch.get("template"))
         updates_g, opt_g = tx.update(grads_g, state.opt_g, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates_g)
         g_metrics["train/generator/grad_norm"] = optax.global_norm(grads_g)
@@ -431,7 +453,9 @@ def make_eval_step(cfg: GANTaskConfig):
     def step(state: TrainState, batch: dict):
         audio, lengths = batch["audio"], batch["lengths"]
         mask = sequence_mask(lengths, audio.shape[2])
-        fake, _, _, _ = generator_forward(state.gen_params, audio, cfg, training=False, extra=state.extra)
+        fake, _, _, _ = generator_forward(
+            state.gen_params, audio, cfg, training=False, extra=state.extra, template=batch.get("template")
+        )
         audio_m, fake_m = audio * mask, fake * mask
         loss_mel = jnp.mean(
             jnp.abs(loss_mel_transform(cfg, audio_m[:, 0]) - loss_mel_transform(cfg, fake_m[:, 0]))

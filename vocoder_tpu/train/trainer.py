@@ -26,12 +26,25 @@ from vocoder_tpu.parallel import batch_sharding, make_mesh, shard_train_state
 from vocoder_tpu.train import gan
 from vocoder_tpu.utils.checkpoint import CheckpointManager, abstract_like
 from vocoder_tpu.utils.logging import MetricsLogger, log
+from vocoder_tpu.utils.viz import plot_mel
 
 
 def maybe_init_distributed() -> None:
-    """Multi-host init (jax.distributed): the NCCL/DDP analogue, SURVEY.md §5.8."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    """Multi-host init (jax.distributed): the NCCL/DDP analogue, SURVEY.md §5.8.
+
+    Must run BEFORE anything touches a backend: `jax.process_count()` (or any
+    device query) initialises the backends, after which
+    `jax.distributed.initialize()` is a no-op/error and the pod silently runs
+    as N singletons.  So the guard here only inspects env vars and the
+    distributed global state — never the backend.
+    """
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "coordinator_address", None) is not None:
+        return  # already initialised (e.g. by a test harness or outer launcher)
+    jax.distributed.initialize()
 
 
 def _build_train_sampler(cfg: TrainConfig):
@@ -42,6 +55,18 @@ def _build_train_sampler(cfg: TrainConfig):
     assert roots, "data.train_roots must be set"
     datasets = [VocoderDataset(root=r, transform=tr) for r in roots]
     return MixDataset(datasets=datasets, probs=probs).sample
+
+
+def _make_template_fn(task):
+    """Host-side f0 template builder for template-consuming generators
+    (RefineGAN, use_template HiFiGAN/BigVGAN): audio (T,) -> template (T,)."""
+    from vocoder_tpu.data.f0 import estimate_f0, template_from_f0
+
+    def fn(audio: np.ndarray) -> np.ndarray:
+        f0 = estimate_f0(audio, task.sampling_rate, task.hop_length)
+        return template_from_f0(f0, task.sampling_rate, task.hop_length)
+
+    return fn
 
 
 def _build_val_batches(cfg: TrainConfig):
@@ -69,9 +94,11 @@ def _build_val_batches(cfg: TrainConfig):
         while len(audios) < b:  # static batch shape
             audios.append(np.zeros_like(audios[0]))
             lengths.append(0)
-        batches.append(
-            {"audio": np.stack(audios).astype(np.float32), "lengths": np.asarray(lengths, np.int64)}
-        )
+        batch = {"audio": np.stack(audios).astype(np.float32), "lengths": np.asarray(lengths, np.int64)}
+        if gan.needs_template(task):
+            tfn = _make_template_fn(task)
+            batch["template"] = np.stack([tfn(a[0]) for a in audios])[:, None, :].astype(np.float32)
+        batches.append(batch)
     return batches
 
 
@@ -147,91 +174,155 @@ def train(cfg: TrainConfig) -> gan.TrainState:
         seed=cfg.run.seed,
         host_index=jax.process_index(),
         start_step=start_step,
+        num_workers=cfg.data.num_workers,
+        template_fn=_make_template_fn(task) if gan.needs_template(task) else None,
     )
     prefetcher = DevicePrefetcher(host_it, sharding=batch_sharding(mesh), depth=2)
     val_batches = _build_val_batches(cfg)
+    mel_fn = jax.jit(lambda a: gan.loss_mel_transform(task, a))  # val viz features
+    pesq_fn = _make_val_pesq(task) if cfg.run.val_pesq else None
 
     log(f"starting training at step {start_step} / {cfg.run.max_steps}")
 
-    # Warm the compile; if the single fused program exhausts the compiler
-    # (seen on remote-compile hosts: SIGKILL'ed helper), fall back to the
-    # numerically-identical split-phase compile.
-    if start_step < cfg.run.max_steps:
-        first_batch = next(prefetcher)
-        if not cfg.run.split_step:
-            try:
+    # host_step mirrors state.step on the host so checkpoint cadence never
+    # forces a device->host readback (int(state.step)) that would serialise
+    # against the async step dispatch.
+    host_step = start_step
+    # task_wrapper semantics (ref utils/utils.py:41-92): log the exception,
+    # then always flush metrics and close the checkpoint manager.
+    try:
+        # Warm the compile; if the single fused program exhausts the compiler
+        # (seen on remote-compile hosts: SIGKILL'ed helper), fall back to the
+        # numerically-identical split-phase compile.
+        if start_step < cfg.run.max_steps:
+            first_batch = next(prefetcher)
+            if not cfg.run.split_step:
+                try:
+                    state, metrics = step_fn(state, first_batch)
+                except Exception as e:  # jax.errors.JaxRuntimeError from the compiler
+                    log(f"fused train step failed to compile ({type(e).__name__}); retrying split-phase")
+                    step_fn = gan.make_train_step_split(task)
+                    state, metrics = step_fn(state, first_batch)
+            else:
                 state, metrics = step_fn(state, first_batch)
-            except Exception as e:  # jax.errors.JaxRuntimeError from the compiler
-                log(f"fused train step failed to compile ({type(e).__name__}); retrying split-phase")
-                step_fn = gan.make_train_step_split(task)
-                state, metrics = step_fn(state, first_batch)
-        else:
-            state, metrics = step_fn(state, first_batch)
-        ckpt.save(int(state.step), state)
-        start_step += 1
+            host_step = start_step + 1
+            ckpt.save(host_step, state)
+            start_step = host_step
 
-    t0 = time.perf_counter()
-    window = max(cfg.run.log_interval, 1)
-    profile = cfg.run.profile_steps  # jax.profiler trace window (SURVEY.md §5.1 gap)
-    best_val, stale_vals = float("inf"), 0
-    for step in range(start_step, cfg.run.max_steps):
-        if profile and step == profile[0]:
-            jax.profiler.start_trace(str(workdir / "profile"))
-        batch = next(prefetcher)
-        state, metrics = step_fn(state, batch)
-        if profile and step + 1 == profile[1]:
-            jax.block_until_ready(metrics)
-            jax.profiler.stop_trace()
-            log(f"profiler trace written to {workdir / 'profile'}")
+        t0 = time.perf_counter()
+        window = max(cfg.run.log_interval, 1)
+        profile = cfg.run.profile_steps  # jax.profiler trace window (SURVEY.md §5.1 gap)
+        best_val, stale_vals = float("inf"), 0
+        for step in range(start_step, cfg.run.max_steps):
+            if profile and step == profile[0]:
+                jax.profiler.start_trace(str(workdir / "profile"))
+            batch = next(prefetcher)
+            state, metrics = step_fn(state, batch)
+            host_step = step + 1
+            if profile and host_step == profile[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                log(f"profiler trace written to {workdir / 'profile'}")
 
-        if (step + 1) % window == 0:
-            jax.block_until_ready(metrics)
-            dt = time.perf_counter() - t0
-            sps = window / dt
-            audio_s = local_bs * jax.process_count() * target_len / task.sampling_rate
-            scalars = {k: float(v) for k, v in metrics.items()}
-            scalars["perf/steps_per_s"] = sps
-            scalars["perf/audio_s_per_s"] = sps * audio_s
-            metrics_logger.write(step + 1, scalars)
-            log(
-                f"step {step + 1}: g={scalars['train/generator/all']:.3f} "
-                f"d={scalars['train/discriminator/all']:.3f} mel={scalars['train/generator/mel']:.3f} "
-                f"({sps:.2f} steps/s, {scalars['perf/audio_s_per_s']:.1f} audio-s/s)"
-            )
-            t0 = time.perf_counter()
+            if host_step % window == 0:
+                jax.block_until_ready(metrics)
+                dt = time.perf_counter() - t0
+                sps = window / dt
+                audio_s = local_bs * jax.process_count() * target_len / task.sampling_rate
+                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["perf/steps_per_s"] = sps
+                scalars["perf/audio_s_per_s"] = sps * audio_s
+                scalars["perf/input_wait_s"] = prefetcher.wait_seconds(reset=True)
+                metrics_logger.write(host_step, scalars)
+                log(
+                    f"step {host_step}: g={scalars['train/generator/all']:.3f} "
+                    f"d={scalars['train/discriminator/all']:.3f} mel={scalars['train/generator/mel']:.3f} "
+                    f"({sps:.2f} steps/s, {scalars['perf/audio_s_per_s']:.1f} audio-s/s)"
+                )
+                t0 = time.perf_counter()
 
-        if val_batches and (step + 1) % cfg.run.val_interval == 0:
-            mels = []
-            first_fake = None
-            for vb in val_batches:
-                vmetrics, fake = eval_fn(state, vb)
-                if first_fake is None:
-                    first_fake = (np.asarray(fake), vb)
-                mels.append(float(vmetrics["val/metrics/mel"]))
-            val_mel = float(np.mean(mels))
-            metrics_logger.write(step + 1, {"val/metrics/mel": val_mel})
-            log(f"step {step + 1}: val mel-L1 {val_mel:.4f}")
-            if cfg.run.early_stop_patience is not None:
-                if val_mel < best_val - 1e-6:
-                    best_val, stale_vals = val_mel, 0
-                else:
-                    stale_vals += 1
-                    if stale_vals >= cfg.run.early_stop_patience:
-                        log(f"early stop: no val improvement in {stale_vals} validations")
-                        break
-            # Media logging: GT vs generated audio for the first val clip
-            # (VocoderModel.report_val_metrics analogue, models/vocoder.py:48-118).
-            fake_np, vb = first_fake
-            n = int(vb["lengths"][0])
-            if n > 0:
-                metrics_logger.add_audio(step + 1, "val/audio/gt", np.asarray(vb["audio"])[0, 0, :n], task.sampling_rate)
-                metrics_logger.add_audio(step + 1, "val/audio/pred", fake_np[0, 0, :n], task.sampling_rate)
+            if val_batches and host_step % cfg.run.val_interval == 0:
+                mels = []
+                first_fake = None
+                pesqs = []
+                for vb in val_batches:
+                    vmetrics, fake = eval_fn(state, vb)
+                    if first_fake is None:
+                        first_fake = (np.asarray(fake), vb)
+                    mels.append(float(vmetrics["val/metrics/mel"]))
+                    if pesq_fn is not None:
+                        pesqs.extend(pesq_fn(np.asarray(fake), vb))
+                val_mel = float(np.mean(mels))
+                val_scalars = {"val/metrics/mel": val_mel}
+                if pesqs:
+                    val_scalars["val/metrics/pesq"] = float(np.mean(pesqs))
+                metrics_logger.write(host_step, val_scalars)
+                log(
+                    f"step {host_step}: val mel-L1 {val_mel:.4f}"
+                    + (f", PESQ {val_scalars['val/metrics/pesq']:.3f}" if pesqs else "")
+                )
+                if cfg.run.early_stop_patience is not None:
+                    if val_mel < best_val - 1e-6:
+                        best_val, stale_vals = val_mel, 0
+                    else:
+                        stale_vals += 1
+                        if stale_vals >= cfg.run.early_stop_patience:
+                            log(f"early stop: no val improvement in {stale_vals} validations")
+                            break
+                # Media logging: GT-vs-generated audio AND mel figures for the
+                # first val clip (report_val_metrics analogue, vocoder.py:48-118).
+                fake_np, vb = first_fake
+                n = int(vb["lengths"][0])
+                if n > 0 and jax.process_index() == 0:
+                    gt_np = np.asarray(vb["audio"])
+                    metrics_logger.add_audio(host_step, "val/audio/gt", gt_np[0, 0, :n], task.sampling_rate)
+                    metrics_logger.add_audio(host_step, "val/audio/pred", fake_np[0, 0, :n], task.sampling_rate)
+                    nf = max(n // task.hop_length, 1)
+                    gt_mel = np.asarray(mel_fn(gt_np[:1, 0]))[0, :, :nf]
+                    pred_mel = np.asarray(mel_fn(fake_np[:1, 0]))[0, :, :nf]
+                    fig = plot_mel([gt_mel, pred_mel], ["ground truth", "generated"])
+                    if fig is not None:
+                        metrics_logger.add_figure(host_step, "val/mel", fig)
 
-        ckpt.save(int(state.step), state)
+            ckpt.save(host_step, state)
 
-    if ckpt.latest_step() != int(state.step):
-        ckpt.save(int(state.step), state, force=True)
-    ckpt.wait()
-    prefetcher.close()
-    metrics_logger.close()
+        if ckpt.latest_step() != host_step:
+            ckpt.save(host_step, state, force=True)
+    except BaseException as e:
+        import traceback
+
+        log(f"training failed at step {host_step}: {type(e).__name__}: {e}")
+        if jax.process_index() == 0:
+            (workdir / "crash.log").write_text(traceback.format_exc())
+        raise
+    finally:
+        ckpt.wait()
+        prefetcher.close()
+        metrics_logger.close()
     return state
+
+
+def _make_val_pesq(task):
+    """Host-side val PESQ callback (ref models/vocoder.py:40-46): resample the
+    GT/generated pair to 16 kHz and score with the native P.862 implementation.
+    Returns a fn((B,1,T) fake, batch) -> list of MOS-LQO floats."""
+    from vocoder_tpu.data.resample import resample
+    from vocoder_tpu.eval_metrics import pesq as pesq_metric
+
+    def run(fake: np.ndarray, batch: dict) -> list:
+        out = []
+        audio = np.asarray(batch["audio"])
+        lengths = np.asarray(batch["lengths"])
+        for i in range(audio.shape[0]):
+            n = int(lengths[i])
+            if n <= 0:
+                continue
+            ref16 = resample(audio[i, 0, :n], task.sampling_rate, 16000)
+            deg16 = resample(fake[i, 0, :n], task.sampling_rate, 16000)
+            try:
+                out.append(pesq_metric(ref16, deg16, 16000, mode="wb"))
+            except Exception:
+                pass  # degenerate clip (all-silence etc.)
+        return out
+
+    return run

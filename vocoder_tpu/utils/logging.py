@@ -36,6 +36,7 @@ class MetricsLogger:
             return
         workdir = Path(workdir)
         workdir.mkdir(parents=True, exist_ok=True)
+        self.workdir = workdir
         self.jsonl = open(workdir / "metrics.jsonl", "a")
         self.tb = None
         if use_tensorboard:
@@ -71,6 +72,24 @@ class MetricsLogger:
                 self.tb.add_audio(tag, audio.reshape(-1, 1), step, sample_rate=sample_rate)
             except Exception:
                 pass
+
+    def add_figure(self, step: int, tag: str, fig) -> None:
+        """Log a matplotlib figure: PNG under workdir/media (durable record,
+        W&B needs egress) + TensorBoard when available; closes the figure."""
+        if not self.main or fig is None:
+            return
+        try:
+            media = self.workdir / "media"
+            media.mkdir(parents=True, exist_ok=True)
+            fig.savefig(media / f"{tag.replace('/', '_')}_{step:08d}.png", dpi=110)
+            if self.tb is not None:
+                self.tb.add_figure(tag, fig, step)
+        except Exception:
+            pass
+        finally:
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
 
     def close(self):
         if self.jsonl is not None:
