@@ -129,6 +129,112 @@ def test_vqvae_family_train_step_updates_codebook():
     assert d > 0  # EMA codebook moved through the train step
 
 
+def _tiny_ssl_cfg():
+    """ssl family at toy scale: the fake 'backbone' emits features at one per
+    hop/2 samples minus one frame — the same T' = 2*frames - 1 ratio as real
+    HuBERT (stride 320 = hop 640 / 2 at 16 kHz), so the stride-2 post-net
+    lands exactly on `frames` and the decoder reconstructs T samples."""
+    from vocoder_tpu.models.ssl_encoders import HubertEncoderConfig
+    from vocoder_tpu.models.vae import SSLCodecGeneratorConfig
+
+    hop = 4
+    gen = SSLCodecGeneratorConfig(
+        latent_size=6,
+        hubert=HubertEncoderConfig(hidden_size=12, output_size=6),
+        decoder=hifigan.HiFiGANConfig(
+            hop_length=hop,
+            upsample_rates=(2, 2),
+            upsample_kernel_sizes=(4, 4),
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 2),),
+            num_mels=6,
+            upsample_initial_channel=16,
+        ),
+        vq=vq_mod.VQConfig(dim=6, codebook_size=8, num_quantizers=1),
+    )
+    return gan.GANTaskConfig(
+        sampling_rate=8000,
+        n_fft=16,
+        hop_length=hop,
+        win_length=16,
+        num_mels=8,
+        generator_name="ssl",
+        generator=gen,
+        mpd=mpd.MPDConfig(periods=(2,), channels=(1, 4)),
+        mrd=mrd.MRDConfig(resolutions=((16, 4, 16),)),
+        stft_resolutions=((16, 4, 16),),
+        num_frames=16,
+        crop_length=None,
+        family="ssl",
+        schedule=WarmupCosineConfig(val_base=1e-4, max_decay_steps=100),
+    )
+
+
+def _fake_ssl_features(cfg, batch_size: int, key=2):
+    frames = cfg.num_frames
+    t_feat = 2 * frames - 1  # the real HuBERT T' ratio (see _tiny_ssl_cfg)
+    return jax.random.normal(jax.random.key(key), (batch_size, t_feat, cfg.generator.hubert.hidden_size))
+
+
+def test_ssl_family_train_step_updates_postnet_and_codebook():
+    """hifigan-vae composition (VERDICT round-1 missing #3): host features ->
+    post-net -> VQ -> HiFiGAN decoder trains end to end in the jit step."""
+    cfg = _tiny_ssl_cfg()
+    state = gan.create_train_state(jax.random.key(0), cfg)
+    post0 = state.gen_params["postnet"]["post0"]["w"]
+    embed0 = state.extra["vq"]["layers"][0]["embed"]
+    step = jax.jit(gan.make_train_step(cfg))
+    t = cfg.hop_length * cfg.num_frames
+    batch = {
+        "audio": jax.random.normal(jax.random.key(1), (2, 1, t)) * 0.3,
+        "lengths": jnp.asarray([t, t]),
+        "ssl_features": _fake_ssl_features(cfg, 2),
+    }
+    state, metrics = step(state, batch)
+    assert "train/generator/vq" in metrics
+    assert np.isfinite(float(metrics["train/generator/all"]))
+    assert float(jnp.abs(state.gen_params["postnet"]["post0"]["w"] - post0).sum()) > 0
+    assert float(jnp.abs(state.extra["vq"]["layers"][0]["embed"] - embed0).sum()) > 0
+
+
+def test_ssl_family_requires_features():
+    import pytest
+
+    cfg = _tiny_ssl_cfg()
+    state = gan.create_train_state(jax.random.key(0), cfg)
+    t = cfg.hop_length * cfg.num_frames
+    batch = {"audio": jnp.zeros((1, 1, t)), "lengths": jnp.asarray([t])}
+    with pytest.raises(ValueError, match="ssl_features"):
+        jax.jit(gan.make_train_step(cfg))(state, batch)
+
+
+def test_ssl_codec_codes_roundtrip():
+    from vocoder_tpu.models.vae import ssl_decode_from_codes, ssl_encode_to_codes, ssl_init
+
+    cfg = _tiny_ssl_cfg()
+    params, vq_state = ssl_init(jax.random.key(0), cfg.generator)
+    feats = _fake_ssl_features(cfg, 1)
+    codes = ssl_encode_to_codes(params, vq_state, feats, cfg.generator)
+    assert codes.shape == (1, 1, cfg.num_frames)
+    audio = ssl_decode_from_codes(params, vq_state, codes, cfg.generator)
+    assert audio.shape == (1, 1, cfg.num_frames * cfg.hop_length)
+
+
+def test_ssl_preset_matches_hifigan_vae_yaml():
+    """configs/model/generator/hifigan-vae.yaml:1-18 parity: hop 640 decoder
+    with rates (8,5,4,2,2), 512 channels, hubert output 512, VQ 4096x1."""
+    from vocoder_tpu.config import build_task_config
+
+    task = build_task_config(model="hifigan", resolution="16000_640_2048", family="ssl")
+    g = task.generator
+    assert task.sampling_rate == 16000 and task.hop_length == 640
+    assert g.decoder.upsample_rates == (8, 5, 4, 2, 2)
+    assert g.decoder.upsample_kernel_sizes == (16, 10, 8, 4, 4)
+    assert g.decoder.num_mels == 512 and g.decoder.upsample_initial_channel == 512
+    assert g.hubert.output_size == 512 and g.hubert.freeze_backbone
+    assert g.vq.codebook_size == 4096 and g.vq.num_quantizers == 1
+
+
 def test_vqvae_codec_encode_decode_api():
     cfg = _tiny_family_cfg("vqvae")
     params, vq_state = vqvae_init(jax.random.key(0), cfg.generator)

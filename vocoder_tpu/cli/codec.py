@@ -32,10 +32,16 @@ def _load(ckpt_path, task):
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description="VQ-VAE audio codec")
+    ap = argparse.ArgumentParser(description="VQ-VAE / SSL-semantic audio codec")
     ap.add_argument("mode", choices=["encode", "decode"])
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--resolution", default="44100_512_2048")
+    ap.add_argument(
+        "--family",
+        default="vqvae",
+        choices=["vqvae", "ssl"],
+        help="vqvae = spectrogram codec; ssl = HuBERT semantic codec (hifigan-vae)",
+    )
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     args = ap.parse_args(argv)
@@ -44,11 +50,24 @@ def main(argv=None):
 
     from vocoder_tpu.data.audio_io import AUDIO_EXTENSIONS, read_audio, write_wav
     from vocoder_tpu.data.resample import resample
-    from vocoder_tpu.models.vae import decode_from_codes, encode_to_codes
+    from vocoder_tpu.models.vae import (
+        decode_from_codes,
+        encode_to_codes,
+        ssl_decode_from_codes,
+        ssl_encode_to_codes,
+    )
     from vocoder_tpu.ops import linear_spectrogram
 
-    task = build_task_config(family="vqvae", resolution=args.resolution)
+    task = build_task_config(family=args.family, resolution=args.resolution)
     params, vq_state = _load(args.ckpt, task)
+    extractor = None
+    if args.family == "ssl" and args.mode == "encode":
+        from vocoder_tpu.models.ssl_encoders import HubertFeatureExtractor
+
+        extractor = HubertFeatureExtractor(task.generator.hubert)
+    if args.family == "ssl":
+        encode_to_codes = lambda p, v, feats, g: ssl_encode_to_codes(p, v, feats, g)  # noqa: F811
+        decode_from_codes = lambda p, v, codes, g: ssl_decode_from_codes(p, v, codes, g)  # noqa: F811
 
     in_root = Path(args.input)
     out_root = Path(args.output)
@@ -60,9 +79,12 @@ def main(argv=None):
             audio, sr = read_audio(f)
             audio = resample(audio.mean(0), sr, task.sampling_rate)
             audio = np.pad(audio, (0, (-len(audio)) % task.hop_length))
-            spec = linear_spectrogram(
-                jnp.asarray(audio[None]), n_fft=task.n_fft, hop_length=task.hop_length, win_length=task.win_length
-            )
+            if extractor is not None:  # ssl: host backbone features, not a spectrogram
+                spec = jnp.asarray(extractor(audio[None]))
+            else:
+                spec = linear_spectrogram(
+                    jnp.asarray(audio[None]), n_fft=task.n_fft, hop_length=task.hop_length, win_length=task.win_length
+                )
             codes = np.asarray(encode_to_codes(params, vq_state, spec, task.generator))
             out = out_root / f.relative_to(in_root if in_root.is_dir() else in_root.parent).with_suffix(".codes.npy")
             out.parent.mkdir(parents=True, exist_ok=True)

@@ -21,7 +21,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="Train a TPU-native vocoder")
     ap.add_argument("--model", default="hifigan", help="generator preset (hifigan|vocos|vocos_huge|bigvgan|firefly_gan_base)")
     ap.add_argument("--resolution", default="44100_512_2048")
-    ap.add_argument("--family", default="gan", choices=["gan", "vae", "vqvae"])
+    ap.add_argument(
+        "--family",
+        default="gan",
+        choices=["gan", "vae", "vqvae", "ssl"],
+        help="task family; ssl = frozen HuBERT -> VQ -> HiFiGAN semantic codec (hifigan-vae.yaml)",
+    )
     ap.add_argument("overrides", nargs="*", help="dotted config overrides key=value")
     args = ap.parse_args(argv)
 

@@ -25,6 +25,9 @@ RESOLUTIONS: dict[str, dict] = {
     "44100_512_2048": dict(sampling_rate=44100, num_mels=128, n_fft=2048, hop_length=512, win_length=2048),
     "24000_256_1024": dict(sampling_rate=24000, num_mels=100, n_fft=1024, hop_length=256, win_length=1024),
     "24000_2048_3072": dict(sampling_rate=24000, num_mels=100, n_fft=3072, hop_length=2048, win_length=3072),
+    # The ssl/hifigan-vae semantic codec runs at 16 kHz with 40 ms frames
+    # (decoder hop 640 = 2x the HuBERT stride; hifigan-vae.yaml:10-11).
+    "16000_640_2048": dict(sampling_rate=16000, num_mels=128, n_fft=2048, hop_length=640, win_length=2048),
 }
 
 
@@ -256,6 +259,30 @@ def _vqvae_generator(res: dict):
     )
 
 
+def _ssl_generator(res: dict):
+    """hifigan-vae.yaml:1-18 composition: frozen HuBERT -> trainable post-net
+    -> EMA-VQ (vqvae.yaml bottleneck) -> HiFiGAN decoder at hop 640."""
+    from vocoder_tpu.models import vq as vq_mod
+    from vocoder_tpu.models.ssl_encoders import HubertEncoderConfig
+    from vocoder_tpu.models.vae import SSLCodecGeneratorConfig
+
+    latent = 512  # hifigan-vae.yaml:7 output_size / decoder num_mels
+    rates, kernels = upsample_rates_for_hop(res["hop_length"])
+    return SSLCodecGeneratorConfig(
+        latent_size=latent,
+        hubert=HubertEncoderConfig(output_size=latent),
+        decoder=hifigan.HiFiGANConfig(
+            hop_length=res["hop_length"],
+            upsample_rates=rates,
+            upsample_kernel_sizes=kernels,
+            num_mels=latent,
+            upsample_initial_channel=512,
+            use_template=False,
+        ),
+        vq=vq_mod.VQConfig(dim=latent, codebook_size=4096, num_quantizers=1),
+    )
+
+
 def build_task_config(model: str = "hifigan", resolution: str = "44100_512_2048", family: str = "gan") -> GANTaskConfig:
     res = RESOLUTIONS[resolution]
     mrd_res = _mrd_resolutions(res)
@@ -267,6 +294,11 @@ def build_task_config(model: str = "hifigan", resolution: str = "44100_512_2048"
     elif family == "vqvae":
         gen_name, gen_cfg = "vqvae", _vqvae_generator(res)
         # vqvae.yaml:13-27: smaller crops + reduced discriminators.
+        mrd_res = mrd_res[:4]
+        kw = dict(mpd=mpd.MPDConfig(periods=(2, 3, 5, 7, 11)), num_frames=32)
+    elif family == "ssl":
+        gen_name, gen_cfg = "ssl", _ssl_generator(res)
+        # Same memory-reduction choices as the vqvae task it trains through.
         mrd_res = mrd_res[:4]
         kw = dict(mpd=mpd.MPDConfig(periods=(2, 3, 5, 7, 11)), num_frames=32)
     else:

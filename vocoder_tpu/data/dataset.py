@@ -103,6 +103,7 @@ def batch_iterator(
     start_step: int = 0,
     num_workers: int = 1,
     template_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+    batch_feature_fn: Callable[[np.ndarray], np.ndarray] | None = None,
 ) -> Iterator[dict]:
     """Infinite {audio (B,1,T), lengths (B,)} batches with fixed shapes.
 
@@ -143,6 +144,12 @@ def batch_iterator(
             if template_fn is not None:
                 tpl = np.stack([t for _, _, t in items]).astype(np.float32)
                 batch["template"] = tpl[:, None, :] if tpl.ndim == 2 else tpl
+            if batch_feature_fn is not None:
+                # Host-side frozen-backbone features (ssl family): computed on
+                # the whole batch so the torch backbone batches internally.
+                batch["ssl_features"] = np.asarray(
+                    batch_feature_fn(batch["audio"][:, 0, :]), np.float32
+                )
             yield batch
             step += 1
     finally:

@@ -56,13 +56,21 @@ def _block_init(key, dim: int, cfg: ConvNeXtConfig) -> dict:
 
 
 def _block_apply(p: dict, x: jnp.ndarray, cfg: ConvNeXtConfig, drop_rate: float, training: bool, rng) -> jnp.ndarray:
+    from vocoder_tpu.parallel import constrain
+
     inp = x
     pad = int(cfg.dilation * (cfg.kernel_size - 1) / 2)
     x = nn.conv1d(p["dwconv"], x, padding=pad, dilation=cfg.dilation, groups=x.shape[-1])
     x = nn.layer_norm(p["norm"], x)
+    # Megatron-style MLP under a ("data","model") mesh: pwconv1 is
+    # column-parallel (hidden sharded over "model", pinned here so GSPMD can't
+    # replicate the 4x-dim activation), pwconv2 row-parallel (psum back to a
+    # model-replicated block output at the residual).  No-ops without a mesh.
     x = nn.linear(p["pwconv1"], x)
+    x = constrain(x, "data", None, "model")
     x = nn.gelu(x)
     x = nn.linear(p["pwconv2"], x)
+    x = constrain(x, "data")
     if "gamma" in p:
         x = p["gamma"] * x
     if training and drop_rate > 0.0:
@@ -96,6 +104,34 @@ def init(key, cfg: ConvNeXtConfig) -> dict:
     return {"downsample": downsample, "stages": stages, "norm": nn.layer_norm_init(cfg.dims[-1])}
 
 
+def param_specs(cfg: ConvNeXtConfig):
+    """PartitionSpec tree mirroring init(): Megatron tensor parallelism.
+
+    The MLP weights (97% of vocos-huge's 650M params) shard over "model":
+    pwconv1 column-parallel (output/hidden axis), pwconv2 row-parallel (input/
+    hidden axis) — one psum per block, activations between blocks replicated
+    on "model".  dwconv/norms/transitions are <3% of bytes and replicate.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    R = P()  # replicated
+
+    def block_spec(dim: int) -> dict:
+        p = {
+            "dwconv": {"w": R, "b": R},
+            "norm": {"scale": R, "bias": R},
+            "pwconv1": {"w": P(None, "model"), "b": P("model")},
+            "pwconv2": {"w": P("model", None), "b": R},
+        }
+        if cfg.layer_scale_init_value > 0:
+            p["gamma"] = R
+        return p
+
+    downsample = [{"conv": {"w": R, "b": R}, "norm": {"scale": R, "bias": R}} for _ in cfg.depths]
+    stages = [[block_spec(cfg.dims[i]) for _ in range(d)] for i, d in enumerate(cfg.depths)]
+    return {"downsample": downsample, "stages": stages, "norm": {"scale": R, "bias": R}}
+
+
 def _drop_rates(cfg: ConvNeXtConfig) -> list[list[float]]:
     import numpy as np
 
@@ -110,6 +146,9 @@ def _drop_rates(cfg: ConvNeXtConfig) -> list[list[float]]:
 
 def apply(params: dict, x: jnp.ndarray, cfg: ConvNeXtConfig, *, training: bool = False, rng=None) -> jnp.ndarray:
     """x: (B, T, C_in) channels-last -> (B, T, dims[-1])."""
+    from vocoder_tpu.parallel import constrain
+
+    x = constrain(x, "data")
     rates = _drop_rates(cfg)
     n_blocks = sum(cfg.depths)
     if training and cfg.drop_path_rate > 0.0:

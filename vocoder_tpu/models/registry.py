@@ -16,6 +16,10 @@ class GeneratorDef:
     init: Callable
     apply: Callable
     from_torch: Callable | None = None
+    # Optional explicit tensor-parallel PartitionSpec tree (mirrors init()'s
+    # params); models without one fall back to the per-leaf heuristic
+    # (parallel/mesh.py::infer_param_specs).
+    param_specs: Callable | None = None
 
 
 def _build() -> dict[str, GeneratorDef]:
@@ -23,7 +27,9 @@ def _build() -> dict[str, GeneratorDef]:
 
     defs = {
         "hifigan": GeneratorDef(hifigan.HiFiGANConfig, hifigan.init, hifigan.apply, hifigan.from_torch_state_dict),
-        "vocos": GeneratorDef(vocos.VocosConfig, vocos.init, vocos.apply, vocos.from_torch_state_dict),
+        "vocos": GeneratorDef(
+            vocos.VocosConfig, vocos.init, vocos.apply, vocos.from_torch_state_dict, vocos.param_specs
+        ),
     }
     try:
         from vocoder_tpu.models import bigvgan

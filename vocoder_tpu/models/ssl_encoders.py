@@ -61,13 +61,23 @@ class HubertFeatureExtractor:
 
 
 def hubert_postnet_init(key, cfg: HubertEncoderConfig) -> dict:
-    # hubert.py:17-24: Conv1d(hidden, output, k=3, stride=2, padding=1).
-    return {"post": nn.conv1d_init(key, cfg.hidden_size, cfg.output_size, 3)}
+    """The trainable post-net (hubert.py:22-30): Conv1d(hidden, out, k3, p1)
+    -> SiLU -> Conv1d(out, out, k3, s2, p1) -> SiLU -> Conv1d(out, out, k1)."""
+    import jax
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "post0": nn.conv1d_init(k1, cfg.hidden_size, cfg.output_size, 3),
+        "post1": nn.conv1d_init(k2, cfg.output_size, cfg.output_size, 3),
+        "post2": nn.conv1d_init(k3, cfg.output_size, cfg.output_size, 1),
+    }
 
 
 def hubert_postnet_apply(params: dict, features) -> "jnp.ndarray":
-    """features (B, T', hidden) channels-last -> (B, T'//2, output_size)."""
-    return nn.conv1d(params["post"], features, stride=2, padding=1)
+    """features (B, T', hidden) channels-last -> (B, ceil(T'/2), output_size)."""
+    x = nn.silu(nn.conv1d(params["post0"], features, padding=1))
+    x = nn.silu(nn.conv1d(params["post1"], x, stride=2, padding=1))
+    return nn.conv1d(params["post2"], x)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,6 +82,61 @@ def vqvae_decode(params: dict, z: jnp.ndarray, cfg: VQVAEGeneratorConfig) -> jnp
     return hifigan.apply(params["decoder"], z, cfg.decoder)
 
 
+@dataclasses.dataclass(frozen=True)
+class SSLCodecGeneratorConfig:
+    """hifigan-vae.yaml parity (configs/model/generator/hifigan-vae.yaml:1-18):
+    frozen HuBERT backbone -> trainable conv post-net -> EMA-VQ -> HiFiGAN
+    decoder at hop 640 (40 ms @ 16 kHz) — the semantic->waveform codec.
+
+    The composition trains through VQVAE semantics (the reference's
+    HubertEncoder.forward takes (audio, mask) and is consumed by
+    VQVAEModel.forward, models/vae.py:80-83).  TPU split: the frozen backbone
+    runs HOST-side in the input pipeline (it takes no gradients — a fixed
+    feature extractor); the post-net/VQ/decoder run inside the jitted step.
+    """
+
+    latent_size: int
+    hubert: "HubertEncoderConfig"
+    decoder: hifigan.HiFiGANConfig
+    vq: vq_mod.VQConfig
+
+
+def ssl_init(key, cfg: SSLCodecGeneratorConfig) -> tuple[dict, dict]:
+    """Returns (params, vq_state); the frozen backbone owns no JAX params."""
+    from vocoder_tpu.models.ssl_encoders import hubert_postnet_init
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "postnet": hubert_postnet_init(k1, cfg.hubert),
+        "decoder": hifigan.init(k2, cfg.decoder),
+    }
+    return params, vq_mod.init(k3, cfg.vq)
+
+
+def ssl_encode(params: dict, features: jnp.ndarray, cfg: SSLCodecGeneratorConfig) -> jnp.ndarray:
+    """Host-extracted backbone features (B, T', hidden) -> latent (B, latent, T'')."""
+    from vocoder_tpu.models.ssl_encoders import hubert_postnet_apply
+
+    x = hubert_postnet_apply(params["postnet"], features)  # (B, T'', latent) channels-last
+    return jnp.transpose(x, (0, 2, 1))
+
+
+def ssl_decode(params: dict, z: jnp.ndarray, cfg: SSLCodecGeneratorConfig) -> jnp.ndarray:
+    return hifigan.apply(params["decoder"], z, cfg.decoder)
+
+
+def ssl_encode_to_codes(params: dict, vq_state: dict, features: jnp.ndarray, cfg: SSLCodecGeneratorConfig) -> jnp.ndarray:
+    """Codec API: backbone features -> discrete semantic codes."""
+    latent = ssl_encode(params, features, cfg)
+    _, codes, _, _ = vq_mod.apply(vq_state, latent, cfg.vq, training=False)
+    return codes
+
+
+def ssl_decode_from_codes(params: dict, vq_state: dict, codes: jnp.ndarray, cfg: SSLCodecGeneratorConfig) -> jnp.ndarray:
+    latent = vq_mod.from_codes(vq_state, codes, cfg.vq)
+    return ssl_decode(params, latent, cfg)
+
+
 def encode_to_codes(params: dict, vq_state: dict, spec: jnp.ndarray, cfg: VQVAEGeneratorConfig) -> jnp.ndarray:
     """Codec API: features -> discrete codes (unify.py:35-41 parity)."""
     latent = vqvae_encode(params, spec, cfg)

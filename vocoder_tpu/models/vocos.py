@@ -43,7 +43,10 @@ def istft_head_apply(params: dict, x: jnp.ndarray, cfg: ISTFTHeadConfig, templat
     """x: (B, T, dim) channels-last -> audio (B, T*hop)."""
     if cfg.padding != "same":
         raise NotImplementedError("only vocos 'same' padding is supported (matches shipped configs)")
+    from vocoder_tpu.parallel import constrain
+
     x = nn.conv1d(params["out"], x)  # (B, T, 2*n_fft)
+    x = constrain(x, "data", None, "model")  # column-parallel projection output
     bins = cfg.n_fft // 2 + 1
     log_mag = x[..., : cfg.n_fft]
     phase = x[..., cfg.n_fft :]
@@ -98,6 +101,17 @@ class VocosConfig:
 def init(key, cfg: VocosConfig) -> dict:
     k1, k2 = jax.random.split(key)
     return {"backbone": convnext.init(k1, cfg.backbone), "head": istft_head_init(k2, cfg.head)}
+
+
+def param_specs(cfg: VocosConfig):
+    """Tensor-parallel PartitionSpecs (vocos-huge north star): Megatron MLP
+    sharding in the ConvNeXt backbone + column-parallel iSTFT-head projection."""
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        "backbone": convnext.param_specs(cfg.backbone),
+        "head": {"out": {"w": P(None, None, "model"), "b": P("model")}},
+    }
 
 
 def apply(

@@ -60,7 +60,7 @@ class GANTaskConfig:
     num_frames: int = 128
     crop_length: int | None = 512 * 32  # hop * 32 (gan.yaml:13)
     input_transform: str = "mel"  # "mel" | "linear" (VAE/VQVAE)
-    family: str = "gan"  # "gan" | "vae" | "vqvae" (models/{gan,vae}.py task classes)
+    family: str = "gan"  # "gan" | "vae" | "vqvae" | "ssl" (models/{gan,vae}.py task classes + hifigan-vae.yaml)
 
     schedule: WarmupCosineConfig = WarmupCosineConfig()
     adam_b1: float = 0.8
@@ -115,6 +115,11 @@ def create_train_state(key, cfg: GANTaskConfig) -> TrainState:
 
         gen_params, vq_state = vae_mod.vqvae_init(kg, cfg.generator)
         extra = {"vq": vq_state}
+    elif cfg.family == "ssl":
+        from vocoder_tpu.models import vae as vae_mod
+
+        gen_params, vq_state = vae_mod.ssl_init(kg, cfg.generator)
+        extra = {"vq": vq_state}
     else:
         raise ValueError(cfg.family)
     disc_params = {"mpd": mpd.init(kmpd, cfg.mpd), "mrd": mrd.init(kmrd, cfg.mrd)}
@@ -138,17 +143,28 @@ def create_train_state(key, cfg: GANTaskConfig) -> TrainState:
     )
 
 
+def model_param_specs(cfg: GANTaskConfig):
+    """The generator's explicit tensor-parallel PartitionSpec tree, or None
+    (then the per-leaf heuristic applies)."""
+    if cfg.family != "gan":
+        return None
+    gd = get_generator(cfg.generator_name)
+    return gd.param_specs(cfg.generator) if gd.param_specs is not None else None
+
+
 def create_train_state_sharded(key, cfg: GANTaskConfig, mesh) -> TrainState:
     """Initialise the TrainState directly INTO the mesh layout (GSPMD init).
 
     jit with out_shardings materialises every leaf on its owning devices —
     the only correct path on multi-host (plain device_put cannot target
     non-addressable devices), and equivalent to create+shard on one host.
+    Generators with explicit specs (vocos/vocos-huge Megatron MLP sharding)
+    use them for params AND optimizer moments; the rest is heuristic.
     """
-    from vocoder_tpu.parallel.mesh import infer_param_specs
+    from vocoder_tpu.parallel.mesh import train_state_specs
 
     abstract = jax.eval_shape(lambda k: create_train_state(k, cfg), key)
-    shardings = infer_param_specs(abstract, mesh)
+    shardings = train_state_specs(abstract, mesh, model_param_specs(cfg))
     return jax.jit(lambda k: create_train_state(k, cfg), out_shardings=shardings)(key)
 
 
@@ -252,7 +268,7 @@ def generator_forward(
 
     from vocoder_tpu.models import vae as vae_mod
 
-    if input_spec is None:
+    if input_spec is None and cfg.family != "ssl":
         input_spec = input_transform(cfg, audio[:, 0, :])
 
     if cfg.family == "vae":
@@ -276,23 +292,49 @@ def generator_forward(
             extra["vq"], latent, cfg.generator.vq, training=training
         )
         fake = vae_mod.vqvae_decode(gen_params, quantized, cfg.generator)
-        # Length fix to within one hop (vae.py:89-96).
-        t_a, t_f = audio.shape[2], fake.shape[2]
-        assert abs(t_f - t_a) <= cfg.hop_length, (t_f, t_a)
-        if t_f > t_a:
-            fake = fake[:, :, :t_a]
-        elif t_f < t_a:
-            fake = jnp.pad(fake, ((0, 0), (0, 0), (0, t_a - t_f)))
+        fake = _length_fix(fake, audio.shape[2], cfg.hop_length)
+        new_extra = {**(extra or {}), "vq": new_vq}
+        return fake, jnp.zeros(()), new_extra, {"train/generator/vq": vq_loss}
+
+    if cfg.family == "ssl":
+        # hifigan-vae semantic codec (configs/model/generator/hifigan-vae.yaml
+        # via VQVAEModel semantics, ref models/vae.py:80-109): input_spec is
+        # the HOST-extracted frozen-backbone features (batch["ssl_features"],
+        # (B, T', hidden)); post-net + VQ + decoder train inside the jit step.
+        if input_spec is None:
+            raise ValueError(
+                "ssl family needs host-side backbone features in the batch "
+                "(batch['ssl_features']; the trainer wires a HubertFeatureExtractor)"
+            )
+        from vocoder_tpu.models import vq as vq_mod
+
+        latent = vae_mod.ssl_encode(gen_params, input_spec, cfg.generator)
+        quantized, _codes, vq_loss, new_vq = vq_mod.apply(
+            extra["vq"], latent, cfg.generator.vq, training=training
+        )
+        fake = vae_mod.ssl_decode(gen_params, quantized, cfg.generator)
+        fake = _length_fix(fake, audio.shape[2], cfg.hop_length)
         new_extra = {**(extra or {}), "vq": new_vq}
         return fake, jnp.zeros(()), new_extra, {"train/generator/vq": vq_loss}
 
     raise ValueError(cfg.family)
 
 
-def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rng, extra, template=None):
+def _length_fix(fake: jnp.ndarray, t_audio: int, hop: int) -> jnp.ndarray:
+    """Codec output length drift <= one hop gets sliced/padded (vae.py:89-96)."""
+    t_f = fake.shape[2]
+    assert abs(t_f - t_audio) <= hop, (t_f, t_audio)
+    if t_f > t_audio:
+        return fake[:, :, :t_audio]
+    if t_f < t_audio:
+        return jnp.pad(fake, ((0, 0), (0, 0), (0, t_audio - t_f)))
+    return fake
+
+
+def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rng, extra, template=None, input_spec=None):
     r_crop, r_model = jax.random.split(rng)
     fake, base_loss, new_extra, fwd_metrics = generator_forward(
-        gen_params, audio, cfg, training=True, rng=r_model, extra=extra, template=template
+        gen_params, audio, cfg, training=True, rng=r_model, extra=extra, template=template, input_spec=input_spec
     )
     assert fake.shape == audio.shape, (fake.shape, audio.shape)
 
@@ -375,7 +417,10 @@ def make_train_step_split(cfg: GANTaskConfig):
         rng, step_rng = jax.random.split(state.rng)
         (loss_g, (g_metrics, audio_c, fake_c, new_extra)), grads_g = jax.value_and_grad(
             _generator_loss, has_aux=True
-        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra, batch.get("template"))
+        )(
+            state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra,
+            batch.get("template"), batch.get("ssl_features"),
+        )
         updates_g, opt_g = tx.update(grads_g, state.opt_g, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates_g)
         g_metrics["train/generator/grad_norm"] = optax.global_norm(grads_g)
@@ -416,7 +461,10 @@ def make_train_step(cfg: GANTaskConfig):
         # ---- Generator phase (gan.py:240-255) ----
         (loss_g, (g_metrics, audio_c, fake_c, new_extra)), grads_g = jax.value_and_grad(
             _generator_loss, has_aux=True
-        )(state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra, batch.get("template"))
+        )(
+            state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra,
+            batch.get("template"), batch.get("ssl_features"),
+        )
         updates_g, opt_g = tx.update(grads_g, state.opt_g, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates_g)
         g_metrics["train/generator/grad_norm"] = optax.global_norm(grads_g)
@@ -454,7 +502,8 @@ def make_eval_step(cfg: GANTaskConfig):
         audio, lengths = batch["audio"], batch["lengths"]
         mask = sequence_mask(lengths, audio.shape[2])
         fake, _, _, _ = generator_forward(
-            state.gen_params, audio, cfg, training=False, extra=state.extra, template=batch.get("template")
+            state.gen_params, audio, cfg, training=False, extra=state.extra,
+            template=batch.get("template"), input_spec=batch.get("ssl_features")
         )
         audio_m, fake_m = audio * mask, fake * mask
         loss_mel = jnp.mean(

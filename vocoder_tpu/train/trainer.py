@@ -44,7 +44,14 @@ def maybe_init_distributed() -> None:
 
     if getattr(_dist.global_state, "coordinator_address", None) is not None:
         return  # already initialised (e.g. by a test harness or outer launcher)
-    jax.distributed.initialize()
+    # jax's auto-detection only covers SLURM/MPI/GKE launchers; on a plain
+    # multi-host launch the three env vars define the cluster explicitly.
+    kw = {"coordinator_address": os.environ["JAX_COORDINATOR_ADDRESS"]}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
 
 
 def _build_train_sampler(cfg: TrainConfig):
@@ -67,6 +74,15 @@ def _make_template_fn(task):
         return template_from_f0(f0, task.sampling_rate, task.hop_length)
 
     return fn
+
+
+def _make_ssl_feature_fn(task):
+    """Host-side frozen HuBERT feature extractor for the ssl family
+    (hifigan-vae.yaml composition): audio (B, T) -> features (B, T', hidden)."""
+    from vocoder_tpu.models.ssl_encoders import HubertFeatureExtractor
+
+    extractor = HubertFeatureExtractor(task.generator.hubert)
+    return lambda audio: extractor(audio)
 
 
 def _build_val_batches(cfg: TrainConfig):
@@ -99,6 +115,10 @@ def _build_val_batches(cfg: TrainConfig):
             tfn = _make_template_fn(task)
             batch["template"] = np.stack([tfn(a[0]) for a in audios])[:, None, :].astype(np.float32)
         batches.append(batch)
+    if task.family == "ssl":
+        ffn = _make_ssl_feature_fn(task)
+        for batch in batches:
+            batch["ssl_features"] = np.asarray(ffn(batch["audio"][:, 0, :]), np.float32)
     return batches
 
 
@@ -106,10 +126,16 @@ def train(cfg: TrainConfig) -> gan.TrainState:
     maybe_init_distributed()
     if cfg.run.precision == "default":
         nn.set_default_precision(lax.Precision.DEFAULT)
+    mesh = make_mesh(data=cfg.run.data_parallel, model=cfg.run.model_parallel)
+    # The mesh context makes models' activation sharding constraints
+    # (parallel.constrain) bind at trace time; without it they are no-ops.
+    with mesh:
+        return _train(cfg, mesh)
 
+
+def _train(cfg: TrainConfig, mesh) -> gan.TrainState:
     task = cfg.task
     workdir = Path(cfg.run.workdir)
-    mesh = make_mesh(data=cfg.run.data_parallel, model=cfg.run.model_parallel)
     dp = mesh.shape["data"]
     local_bs_check = max(cfg.data.batch_size // jax.process_count(), 1)
     assert local_bs_check % dp == 0, (
@@ -145,11 +171,11 @@ def train(cfg: TrainConfig) -> gan.TrainState:
     if cfg.run.ckpt_path is not None and cfg.run.resume_weights_only:
         other = CheckpointManager(cfg.run.ckpt_path)
         state = other.restore_weights_only(state)
-        state = shard_train_state(state, mesh)
+        state = shard_train_state(state, mesh, gan.model_param_specs(task))
         log(f"resumed weights only from {cfg.run.ckpt_path}")
     elif latest is not None:
         state = ckpt.restore(abstract_like(state))
-        state = shard_train_state(state, mesh)
+        state = shard_train_state(state, mesh, gan.model_param_specs(task))
         start_step = int(state.step)
         log(f"auto-resumed from step {start_step}")
 
@@ -176,6 +202,7 @@ def train(cfg: TrainConfig) -> gan.TrainState:
         start_step=start_step,
         num_workers=cfg.data.num_workers,
         template_fn=_make_template_fn(task) if gan.needs_template(task) else None,
+        batch_feature_fn=_make_ssl_feature_fn(task) if task.family == "ssl" else None,
     )
     prefetcher = DevicePrefetcher(host_it, sharding=batch_sharding(mesh), depth=2)
     val_batches = _build_val_batches(cfg)
