@@ -54,13 +54,19 @@ def main(argv=None):
     source, generated = Path(args.source), Path(args.generated)
     assert source.is_dir() and generated.is_dir()
     files = sorted(source.rglob(args.glob_pattern))
+    if not files:
+        raise SystemExit(
+            f"no files in {source} match {args.glob_pattern!r} — pass "
+            "--glob-pattern (e.g. '*.flac') for non-WAV corpora"
+        )
     scores = defaultdict(list)
     errors = 0
 
     for f in files:
         g = generated / f.relative_to(source)
-        if not g.exists():
-            g = g.with_suffix(".flac")
+        for suffix in (".flac", ".wav"):
+            if not g.exists():
+                g = g.with_suffix(suffix)
         if not g.exists():
             print(f"{g} does not exist")
             continue

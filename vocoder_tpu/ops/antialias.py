@@ -130,24 +130,51 @@ def aa_snake_polyphase(
     g_o = np.asarray([f[2 * a_ + 1] for a_ in range(6)])
     g_e = np.asarray([f[2 * a_] for a_ in range(6)])
 
-    def dconv(v, taps):
-        w = jnp.broadcast_to(jnp.asarray(taps, v.dtype)[:, None, None], (6, 1, c))
-        return lax.conv_general_dilated(
-            v, w, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c,
-            precision=lax.Precision.HIGHEST,
-        )
-
+    # Fused-branch form ("v1"): both polyphase branches ride ONE depthwise
+    # conv with channel multiplier 2 (group g -> out channels [2g, 2g+1]),
+    # one snake over 2C interleaved channels, and ONE multiplier-2->1
+    # depthwise conv that applies g_o/g_e per branch and pair-sums inside the
+    # group contraction.  Halves conv-op count vs four separate depthwise
+    # convs; measured 577 -> 520 ms on BigVGAN b16 (v5e).
     # x window [t0-5, t0+T+5]: se needs x[u-5..], so needs x[u-5..] with the
     # same base (see the pallas kernel's indexing; base offset 0 here since we
     # pad exactly 5/6).
     xp = jnp.pad(x, ((0, 0), (5, 6), (0, 0)), mode="edge")
     # se_local[u] = snake(2*sum_j xp[u+j]*f_e[j]),   u in [0, T+6)
-    # so_local[v] = snake(2*sum_j xp[v+j]*f_o[j]),   v in [0, T+5)
-    se = _snake(2.0 * dconv(xp, f_e).astype(jnp.float32), a2, b2).astype(x.dtype)  # (B, T+6, C)
-    so = _snake(2.0 * dconv(xp[:, : t + 10, :], f_o).astype(jnp.float32), a2, b2).astype(x.dtype)
-    # z[t] = sum_a g_o[a]*se[t+a] + g_e[a]*so[t+a]
-    z = dconv(se[:, : t + 5, :], g_o) + dconv(so, g_e)
+    # so_local[v] = snake(2*sum_j xp[v+j]*f_o[j]),   v in [0, T+6)
+    w_in = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(f_e, x.dtype)[:, None], (6, c)),
+            jnp.broadcast_to(jnp.asarray(f_o, x.dtype)[:, None], (6, c)),
+        ],
+        axis=2,
+    ).reshape(6, 1, 2 * c)  # interleaved [f_e, f_o] per source channel
+    y = lax.conv_general_dilated(
+        xp, w_in, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
+    )  # (B, T+6, 2C) interleaved [se, so] per source channel
+    a2c = jnp.repeat(alpha, 2)[None, :].astype(jnp.float32)
+    b2c = jnp.repeat(beta, 2)[None, :].astype(jnp.float32)
+    y = _snake(2.0 * y.astype(jnp.float32), a2c, b2c).astype(x.dtype)
+    # z[t] = sum_a g_o[a]*se[t+a] + g_e[a]*so[t+a]: depthwise over the 2C
+    # interleaved channels + explicit pair-sum.  NOT a grouped 2->1
+    # contraction (feature_group_count=c with I/G=2): XLA lowers tiny
+    # per-group contractions terribly (1084 vs 520 ms measured, same math —
+    # see BENCH.md "interleaved grouped-conv polyphase" negative result).
+    w_out = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(g_o, x.dtype)[:, None], (6, c)),
+            jnp.broadcast_to(jnp.asarray(g_e, x.dtype)[:, None], (6, c)),
+        ],
+        axis=2,
+    ).reshape(6, 1, 2 * c)  # interleaved [g_o, g_e] per source channel
+    z2 = lax.conv_general_dilated(
+        y[:, : t + 5, :], w_out, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=2 * c,
+        precision=lax.Precision.HIGHEST,
+    )  # (B, T, 2C)
+    z = z2.reshape(b, t, c, 2).sum(-1)
 
     # Exact edges (y-replication differs): recompute outer 4 with the
     # reference composition on short windows and splice.
