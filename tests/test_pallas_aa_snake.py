@@ -19,7 +19,7 @@ def _reference(x, alpha, beta, logscale):
 
 
 @pytest.mark.parametrize("logscale", [False, True])
-@pytest.mark.parametrize("t,c", [(128, 16), (96, 8), (256, 32)])
+@pytest.mark.parametrize("t,c", [(128, 16), (96, 8), (256, 32), (512, 16), (64, 128)])
 def test_fused_matches_unfused(t, c, logscale):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
@@ -30,6 +30,37 @@ def test_fused_matches_unfused(t, c, logscale):
     got = np.asarray(fused_aa_snake(x, alpha, beta, logscale, interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("logscale", [False, True])
+def test_fused_grad_matches_unfused_autodiff(logscale):
+    """The shared hand-written VJP (aa_snake_core_bwd) == autodiff of the
+    reference up->snake->down composition, through BOTH forwards (the XLA
+    polyphase and the Pallas kernel)."""
+    from vocoder_tpu.ops.antialias import aa_snake_polyphase
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 256, 32)), jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(32) * 0.3, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(32) * 0.3, jnp.float32)
+
+    def loss(fn):
+        return lambda x, a, b: jnp.sum(jnp.square(jnp.sin(fn(x, a, b))))
+
+    g_ref = jax.grad(loss(lambda x, a, b: _reference(x, a, b, logscale)), argnums=(0, 1, 2))(
+        x, alpha, beta
+    )
+    g_poly = jax.grad(
+        loss(lambda x, a, b: aa_snake_polyphase(x, a, b, logscale)), argnums=(0, 1, 2)
+    )(x, alpha, beta)
+    g_fused = jax.grad(
+        loss(lambda x, a, b: fused_aa_snake(x, a, b, logscale, True)), argnums=(0, 1, 2)
+    )(x, alpha, beta)
+    for got, name in [(g_poly, "poly"), (g_fused, "pallas")]:
+        for g, r in zip(got, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4, err_msg=name
+            )
 
 
 def test_fused_short_input_falls_back():

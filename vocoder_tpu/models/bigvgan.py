@@ -60,26 +60,31 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
 
 
-# Anti-aliased activation backends, fastest first (all numerically
-# equivalent; measured on v5e bf16 b16, BigVGAN end to end):
-#   "polyphase" — ops/antialias.aa_snake_polyphase: 1x-rate 6-tap depthwise
-#                 correlations, 2x intermediate never materialised (default)
+# Anti-aliased activation backends (all numerically equivalent; BigVGAN
+# end-to-end inference, v5e bf16 b16):
+#   "auto"      — pallas on TPU, polyphase elsewhere (default)
+#   "pallas"    — ops/pallas/aa_snake.py fused VMEM kernel (lane-folded
+#                 polyphase, one HBM pass): 422 ms
+#   "polyphase" — ops/antialias.aa_snake_polyphase: 1x-rate fused-branch
+#                 depthwise correlations, 2x intermediate never
+#                 materialised: 517 ms
 #   "compose"   — up(2x) FIR -> snake -> down(2x) FIR (the reference
 #                 alias_free_torch structure): 677 ms
-#   "pallas"    — ops/pallas/aa_snake.py fused VMEM kernel: 727 ms (covers
-#                 C>=64 only; kept as the kernel-programming reference)
-AA_BACKEND = "polyphase"
+AA_BACKEND = "auto"
 
 
 def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     """Anti-aliased activation: 2x upsample -> snake -> 2x downsample."""
     alpha = p["alpha"]
     beta = p.get("beta", alpha)
-    if AA_BACKEND == "polyphase":
+    backend = AA_BACKEND
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "polyphase"
+    if backend == "polyphase":
         from vocoder_tpu.ops.antialias import aa_snake_polyphase
 
         return aa_snake_polyphase(x, alpha, beta, logscale)
-    if AA_BACKEND == "pallas" and jax.default_backend() != "cpu":
+    if backend == "pallas" and jax.default_backend() != "cpu":
         from vocoder_tpu.ops.pallas.aa_snake import fused_aa_snake
 
         return fused_aa_snake(x, alpha, beta, logscale)

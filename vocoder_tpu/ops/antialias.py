@@ -14,6 +14,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -98,50 +99,64 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None)
     )
 
 
-def aa_snake_polyphase(
-    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool
-) -> jnp.ndarray:
-    """Fused anti-aliased snake at 1x rate, pure XLA.
+def _snake_f32(v, a, bgain):
+    return v + (1.0 / (bgain + 1e-9)) * jnp.square(jnp.sin(v * a))
 
-    Drop-in for downsample1d(snake(upsample1d(x, 2)), 2) on (B, T, C): the
-    polyphase decomposition (see ops/pallas/aa_snake.py for the derivation)
-    turns the up(2x) -> snake -> down(2x) pipeline into two 6-tap depthwise
-    correlations at 1x rate, the snake nonlinearity on each branch, and two
-    more 6-tap correlations — the 2x-rate intermediate never exists.  Halves
-    the FLOPs/bandwidth of the activation stack; measured ~2x on BigVGAN.
-    The outer 3 samples (where the unfused pipeline's edge replication of the
-    intermediate differs) are recomputed with the reference composition and
-    spliced, so the result is numerically equivalent end to end.
+
+@functools.lru_cache(maxsize=None)
+def polyphase_taps():
+    """(f_e, f_o, g_o, g_e): the ratio-2 Kaiser-sinc filter's polyphase taps.
+
+    With f the 12-tap filter shared by up- and downsample at ratio 2:
+        se[u] = snake(2 * sum_j x[u-5+j] * f_e[j])      f_e[j] = f[11-2j]
+        so[u] = snake(2 * sum_j x[u-5+j] * f_o[j])      f_o[j] = f[10-2j]
+        z[t]  = sum_a g_o[a]*se[t+a] + g_e[a]*so[t+a]   g_o[a]=f[2a+1], g_e[a]=f[2a]
     """
-
-    def _snake(v, a, bgain):
-        return v + (1.0 / (bgain + 1e-9)) * jnp.square(jnp.sin(v * a))
-
-    if logscale:
-        alpha = jnp.exp(alpha)
-        beta = jnp.exp(beta)
-    a2 = alpha[None, :].astype(jnp.float32)
-    b2 = beta[None, :].astype(jnp.float32)
-
-    b, t, c = x.shape
     f = kaiser_sinc_filter1d(0.25, 0.3, 12).astype(np.float64)
-    f_e = np.asarray([f[11 - 2 * j] for j in range(6)])  # even-branch taps
-    f_o = np.asarray([f[10 - 2 * j] for j in range(6)])  # odd-branch taps
+    f_e = np.asarray([f[11 - 2 * j] for j in range(6)])
+    f_o = np.asarray([f[10 - 2 * j] for j in range(6)])
     g_o = np.asarray([f[2 * a_ + 1] for a_ in range(6)])
     g_e = np.asarray([f[2 * a_] for a_ in range(6)])
+    return f_e, f_o, g_o, g_e
 
-    # Fused-branch form ("v1"): both polyphase branches ride ONE depthwise
-    # conv with channel multiplier 2 (group g -> out channels [2g, 2g+1]),
-    # one snake over 2C interleaved channels, and ONE multiplier-2->1
-    # depthwise conv that applies g_o/g_e per branch and pair-sums inside the
-    # group contraction.  Halves conv-op count vs four separate depthwise
-    # convs; measured 577 -> 520 ms on BigVGAN b16 (v5e).
-    # x window [t0-5, t0+T+5]: se needs x[u-5..], so needs x[u-5..] with the
-    # same base (see the pallas kernel's indexing; base offset 0 here since we
-    # pad exactly 5/6).
+
+def _dwconv(v, taps, dtype=None):
+    """Plain depthwise 6-tap VALID correlation on (B, T, C) — the one conv
+    form XLA lowers well at every channel width (BENCH.md negative results:
+    grouped 2-lane contractions are 2x slower, transposed multiplier-2 convs
+    worse still — which is why the custom VJP below exists)."""
+    c = v.shape[-1]
+    w = jnp.broadcast_to(jnp.asarray(taps, dtype or v.dtype)[:, None, None], (len(taps), 1, c))
+    return lax.conv_general_dilated(
+        v, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+@jax.custom_vjp
+def aa_snake_core(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    """Interior polyphase aa-snake on (B, T, C); alpha/beta pre-exp'ed (C,).
+
+    Matches downsample1d(snake(upsample1d(x, 2)), 2) except at the outer
+    ~4 samples per side (where the unfused pipeline edge-replicates the
+    2x-rate intermediate) — callers splice those via `_apply_edges`.
+
+    Forward is the fused-branch form ("v1"): both polyphase branches ride ONE
+    depthwise conv with channel multiplier 2 (group g -> out channels
+    [2g, 2g+1]), one snake over 2C interleaved channels, one depthwise conv
+    over 2C, and an explicit pair-sum (577 -> 520 ms BigVGAN b16 vs four
+    separate depthwise convs; a grouped 2->1 contraction instead of the
+    pair-sum measures 1084 ms).  Backward is hand-written below: XLA's
+    autodiff transposes the multiplier-2 conv into exactly the tiny-group
+    contraction pathology (3x slower training step measured).
+    """
+    b, t, c = x.shape
+    f_e, f_o, g_o, g_e = polyphase_taps()
+    a2c = jnp.repeat(alpha, 2)[None, :].astype(jnp.float32)
+    b2c = jnp.repeat(beta, 2)[None, :].astype(jnp.float32)
+
     xp = jnp.pad(x, ((0, 0), (5, 6), (0, 0)), mode="edge")
-    # se_local[u] = snake(2*sum_j xp[u+j]*f_e[j]),   u in [0, T+6)
-    # so_local[v] = snake(2*sum_j xp[v+j]*f_o[j]),   v in [0, T+6)
     w_in = jnp.stack(
         [
             jnp.broadcast_to(jnp.asarray(f_e, x.dtype)[:, None], (6, c)),
@@ -154,14 +169,7 @@ def aa_snake_polyphase(
         dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c,
         precision=lax.Precision.HIGHEST,
     )  # (B, T+6, 2C) interleaved [se, so] per source channel
-    a2c = jnp.repeat(alpha, 2)[None, :].astype(jnp.float32)
-    b2c = jnp.repeat(beta, 2)[None, :].astype(jnp.float32)
-    y = _snake(2.0 * y.astype(jnp.float32), a2c, b2c).astype(x.dtype)
-    # z[t] = sum_a g_o[a]*se[t+a] + g_e[a]*so[t+a]: depthwise over the 2C
-    # interleaved channels + explicit pair-sum.  NOT a grouped 2->1
-    # contraction (feature_group_count=c with I/G=2): XLA lowers tiny
-    # per-group contractions terribly (1084 vs 520 ms measured, same math —
-    # see BENCH.md "interleaved grouped-conv polyphase" negative result).
+    y = _snake_f32(2.0 * y.astype(jnp.float32), a2c, b2c).astype(x.dtype)
     w_out = jnp.stack(
         [
             jnp.broadcast_to(jnp.asarray(g_o, x.dtype)[:, None], (6, c)),
@@ -174,19 +182,116 @@ def aa_snake_polyphase(
         dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=2 * c,
         precision=lax.Precision.HIGHEST,
     )  # (B, T, 2C)
-    z = z2.reshape(b, t, c, 2).sum(-1)
+    return z2.reshape(b, t, c, 2).sum(-1)
 
-    # Exact edges (y-replication differs): recompute outer 4 with the
-    # reference composition on short windows and splice.
+
+def _core_fwd(x, alpha, beta):
+    return aa_snake_core(x, alpha, beta), (x, alpha, beta)
+
+
+def aa_snake_core_bwd(x, alpha, beta, ct):
+    """Hand-derived VJP of the interior polyphase aa-snake.
+
+    Every conv is a plain depthwise correlation with (flipped) taps — the
+    form XLA lowers well — and the snake derivative is analytic:
+        d/dv [v + (1/b) sin^2(a v)] = 1 + (a/b) sin(2 a v)
+        d/da = (v/b) sin(2 a v),   d/db = -(1/b^2) sin^2(a v)
+    Pre-activations are recomputed from x (cheap 6-tap convs) instead of
+    saved, so residuals are just the primals.  Used by BOTH the XLA forward
+    above and the Pallas kernel (ops/pallas/aa_snake.py).
+    """
+    b, t, c = x.shape
+    f_e, f_o, g_o, g_e = polyphase_taps()
+    a2 = alpha[None, :].astype(jnp.float32)
+    b2 = beta[None, :].astype(jnp.float32)
+    ct32 = ct.astype(jnp.float32)
+
+    # Recompute pre-activations ye/yo (length T+5: se/so index t+a <= T+4).
+    xp = jnp.pad(x, ((0, 0), (5, 6), (0, 0)), mode="edge")
+    ye = 2.0 * _dwconv(xp[:, : t + 10, :], f_e).astype(jnp.float32)  # (B, T+5, C)
+    yo = 2.0 * _dwconv(xp[:, : t + 10, :], f_o).astype(jnp.float32)
+
+    # dse[u] = sum_a g_o[a] ct[u-a], u in [0, T+5): zero-padded correlation
+    # with flipped taps.
+    ctp = jnp.pad(ct32, ((0, 0), (5, 5), (0, 0)))
+    dse = _dwconv(ctp, tuple(g_o[::-1]))  # (B, T+5, C)
+    dso = _dwconv(ctp, tuple(g_e[::-1]))
+
+    inv_b = 1.0 / (b2 + 1e-9)
+    s2e = jnp.sin(2.0 * a2 * ye)
+    s2o = jnp.sin(2.0 * a2 * yo)
+    dye = dse * (1.0 + a2 * inv_b * s2e)
+    dyo = dso * (1.0 + a2 * inv_b * s2o)
+
+    # Parameter grads (per channel, summed over batch+time).
+    d_alpha = jnp.sum(inv_b * (dse * s2e * ye + dso * s2o * yo), axis=(0, 1))
+    # sin^2(a v) via 0.5*(1 - cos(2 a v)).
+    se_sq = 0.5 * (1.0 - jnp.cos(2.0 * a2 * ye))
+    so_sq = 0.5 * (1.0 - jnp.cos(2.0 * a2 * yo))
+    d_beta = -jnp.sum(jnp.square(inv_b) * (dse * se_sq + dso * so_sq), axis=(0, 1))
+
+    # dxp[m] = 2 sum_j f_e[j] dye[m-j] + f_o[j] dyo[m-j]; then fold the
+    # edge-replicated pad positions back onto x[0] / x[T-1].
+    dyep = jnp.pad(dye, ((0, 0), (5, 6), (0, 0)))  # (B, T+16, C)
+    dyop = jnp.pad(dyo, ((0, 0), (5, 6), (0, 0)))
+    dxp = 2.0 * (_dwconv(dyep, tuple(f_e[::-1])) + _dwconv(dyop, tuple(f_o[::-1])))  # (B, T+11, C)
+    dx = dxp[:, 5 : t + 5, :]
+    dx = dx.at[:, 0, :].add(jnp.sum(dxp[:, :5, :], axis=1))
+    dx = dx.at[:, t - 1, :].add(jnp.sum(dxp[:, t + 5 :, :], axis=1))
+
+    return dx.astype(x.dtype), d_alpha.astype(alpha.dtype), d_beta.astype(beta.dtype)
+
+
+def _core_bwd(res, ct):
+    x, alpha, beta = res
+    return aa_snake_core_bwd(x, alpha, beta, ct)
+
+
+aa_snake_core.defvjp(_core_fwd, _core_bwd)
+
+
+def apply_aa_edges(x, z, alpha, beta, edge: int = 4, window: int = 32):
+    """Splice unfused-recomputed edges into an interior aa-snake result.
+
+    The interior polyphase formula differs from the reference composition at
+    the outer ~3 samples per side (the unfused pipeline edge-replicates the
+    2x-rate intermediate before the down-FIR); recomputing `edge` samples
+    from a short window reproduces the global result exactly.  alpha/beta are
+    pre-exp'ed (C,) arrays.
+    """
+    t = x.shape[1]
+    a2 = alpha[None, :].astype(jnp.float32)
+    b2 = beta[None, :].astype(jnp.float32)
+
     def unfused(v):
-        return downsample1d(_snake(upsample1d(v, 2).astype(jnp.float32), a2, b2).astype(v.dtype), 2)
+        return downsample1d(_snake_f32(upsample1d(v, 2).astype(jnp.float32), a2, b2).astype(v.dtype), 2)
 
-    e, w = 4, 32
-    if t >= 2 * w:
-        left = unfused(x[:, :w, :])[:, :e, :]
-        right = unfused(x[:, -w:, :])[:, -e:, :]
-        z = z.at[:, :e, :].set(left)
-        z = z.at[:, t - e :, :].set(right)
+    if t >= 2 * window:
+        left = unfused(x[:, :window, :])[:, :edge, :]
+        right = unfused(x[:, -window:, :])[:, -edge:, :]
+        z = z.at[:, :edge, :].set(left)
+        z = z.at[:, t - edge :, :].set(right)
     else:
         z = unfused(x)
     return z
+
+
+def aa_snake_polyphase(
+    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool
+) -> jnp.ndarray:
+    """Fused anti-aliased snake at 1x rate, pure XLA.
+
+    Drop-in for downsample1d(snake(upsample1d(x, 2)), 2) on (B, T, C): the
+    polyphase decomposition (see ops/pallas/aa_snake.py for the derivation)
+    turns the up(2x) -> snake -> down(2x) pipeline into two 6-tap depthwise
+    correlations at 1x rate, the snake nonlinearity on each branch, and two
+    more 6-tap correlations — the 2x-rate intermediate never exists.  Edges
+    are recomputed with the reference composition and spliced, so the result
+    is numerically equivalent end to end.  Differentiable via the shared
+    hand-written VJP (aa_snake_core_bwd).
+    """
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    z = aa_snake_core(x, alpha, beta)
+    return apply_aa_edges(x, z, alpha, beta)
