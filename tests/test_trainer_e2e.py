@@ -65,6 +65,13 @@ def test_train_loop_checkpoints_and_resumes(wav_dir, tmp_path):
     state2 = train(cfg2)
     assert int(state2.step) == 5
 
+    # Resuming the same workdir with a DIFFERENT task config must fail with a
+    # clear message naming the mismatch, not a deep Orbax tree error.
+    cfg3 = _train_cfg(wav_dir, workdir, max_steps=6)
+    cfg3 = dataclasses.replace(cfg3, task=cfg3.task.replace(mel_weight=99.0))
+    with pytest.raises(SystemExit, match="different task config"):
+        train(cfg3)
+
 
 def test_infer_cli_roundtrip(wav_dir, tmp_path):
     from vocoder_tpu.train.trainer import train

@@ -151,15 +151,34 @@ def _train(cfg: TrainConfig, mesh) -> gan.TrainState:
     ckpt = CheckpointManager(workdir / "checkpoints", save_interval_steps=cfg.run.ckpt_interval)
 
     # Config + hyperparameter capture (rich_utils config_tree.log +
-    # logging_utils param-count analogue).
-    if jax.process_index() == 0:
-        import dataclasses as _dc
-        import json as _json
+    # logging_utils param-count analogue).  Before overwriting config.json,
+    # guard auto-resume against a workdir left over from a DIFFERENT model:
+    # restoring e.g. a refinegan checkpoint into a bigvgan state dies deep in
+    # Orbax with a tree-structure dump, so fail here with the actual cause.
+    import dataclasses as _dc
+    import json as _json
 
+    task_now = _json.loads(_json.dumps(_dc.asdict(cfg.task), default=str))
+    cfg_path = workdir / "config.json"
+    if cfg_path.exists() and ckpt.latest_step() is not None:
+        try:
+            task_prev = _json.loads(cfg_path.read_text()).get("task")
+        except Exception:
+            task_prev = None
+        if task_prev is not None and task_prev != task_now:
+            diff = [
+                k for k in sorted(set(task_prev) | set(task_now))
+                if task_prev.get(k) != task_now.get(k)
+            ]
+            raise SystemExit(
+                f"workdir {workdir} holds a checkpoint (step {ckpt.latest_step()}) "
+                f"trained with a different task config (differs in: {', '.join(diff)}). "
+                "Point run.workdir at a fresh directory, or pass the old model/"
+                "resolution flags to resume it."
+            )
+    if jax.process_index() == 0:
         workdir.mkdir(parents=True, exist_ok=True)
-        (workdir / "config.json").write_text(
-            _json.dumps(_dc.asdict(cfg), indent=2, default=str)
-        )
+        cfg_path.write_text(_json.dumps(_dc.asdict(cfg), indent=2, default=str))
 
     # GSPMD init: leaves materialise directly into the mesh layout (works on
     # one host AND across processes; plain device_put cannot).
