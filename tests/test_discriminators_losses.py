@@ -105,6 +105,40 @@ def test_mrd_loss_parity_incl_q3_weighting():
     np.testing.assert_allclose(got_d, want_d, rtol=1e-3, atol=1e-5)
 
 
+def test_mrd_folded_backend_matches_plain():
+    """The freq-folded TPU conv path (structural-zero block-banded weights,
+    lane-dense C=128 images) must agree with the plain path at loss AND
+    gradient level — scores unfolded exactly, folded fmaps carrying the F4/F
+    mean-compensation scale."""
+    import jax
+
+    cfg = mrd.MRDConfig()  # full 5-resolution config incl. odd F = n_fft/2+1
+    params = mrd.init(jax.random.key(0), cfg)
+    fake = jax.random.normal(jax.random.key(1), (2, 1, 16384)) * 0.1
+    real = jax.random.normal(jax.random.key(2), (2, 1, 16384)) * 0.1
+
+    def losses(params, backend):
+        old = mrd.MRD_BACKEND
+        mrd.MRD_BACKEND = backend
+        try:
+            sf, ff = mrd.apply(params, fake, cfg)
+            sr, fr = mrd.apply(params, real, cfg)
+            return (
+                generator_adversarial_loss(sf)
+                + feature_matching_loss(fr, ff)
+                + discriminator_loss(sr, sf)
+            )
+        finally:
+            mrd.MRD_BACKEND = old
+
+    lp, gp = jax.value_and_grad(losses)(params, "plain")
+    lf, gf = jax.value_and_grad(losses)(params, "folded")
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    scale = max(float(jnp.max(jnp.abs(a))) for a in jax.tree.leaves(gp))
+    for a, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4 * scale, rtol=1e-3)
+
+
 def test_mr_stft_loss_parity():
     torch.manual_seed(2)
     resolutions = [[256, 64, 128], [512, 120, 300]]

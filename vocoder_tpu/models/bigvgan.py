@@ -62,28 +62,63 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
 
 # Anti-aliased activation backends (all numerically equivalent; BigVGAN
 # end-to-end inference, v5e bf16 b16):
-#   "auto"      — pallas on TPU, polyphase elsewhere (default)
+#   "auto"      — inference: pallas on TPU, polyphase elsewhere; training:
+#                 polyphase everywhere (default).  Measured under the full
+#                 train step the pallas forward LOSES (598 vs 480 ms/step,
+#                 b8x128 bf16) — the kernel call breaks XLA's fusion of the
+#                 activation into the surrounding conv gradients — while at
+#                 inference it wins (422 vs 517 ms).
 #   "pallas"    — ops/pallas/aa_snake.py fused VMEM kernel (lane-folded
 #                 polyphase, one HBM pass): 422 ms
 #   "polyphase" — ops/antialias.aa_snake_polyphase: 1x-rate fused-branch
 #                 depthwise correlations, 2x intermediate never
-#                 materialised: 517 ms
+#                 materialised: 517 ms; custom-VJP backward
+#   "poly4"     — same math as four plain depthwise convs with XLA autodiff;
+#                 the fastest TRAINING form (g-phase 414 vs 494 ms — autodiff
+#                 saves the pre-activations instead of recomputing them)
 #   "compose"   — up(2x) FIR -> snake -> down(2x) FIR (the reference
 #                 alias_free_torch structure): 677 ms
 AA_BACKEND = "auto"
 
+# Small-channel tail stages keep activations time-folded (B, T/r, r*C) with
+# r*C = 128 — see models/hifigan.py TAIL_FOLD for the rationale (XLA pads a
+# C<128 minor dim to the 128-lane tile, wasting 4-8x VPU + HBM on every
+# elementwise op; BigVGAN's anti-aliased snakes are almost all elementwise).
+# When folded, the activation runs as ops/antialias.aa_snake_poly4_folded.
+TAIL_FOLD = "auto"  # "auto" | "on" | "off"
 
-def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
+
+def _tail_fold(c: int, t: int) -> int:
+    mode = TAIL_FOLD
+    if mode == "off" or (mode == "auto" and jax.default_backend() != "tpu"):
+        return 1
+    if c >= 128:
+        return 1
+    r = 128 // c
+    while r > 1 and t % r:
+        r //= 2
+    return r
+
+
+def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool, training: bool = False, fold: int = 1) -> jnp.ndarray:
     """Anti-aliased activation: 2x upsample -> snake -> 2x downsample."""
     alpha = p["alpha"]
     beta = p.get("beta", alpha)
+    if fold > 1:
+        from vocoder_tpu.ops.antialias import aa_snake_poly4_folded
+
+        return aa_snake_poly4_folded(x, alpha, beta, logscale, fold)
     backend = AA_BACKEND
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "polyphase"
+        backend = "pallas" if (jax.default_backend() == "tpu" and not training) else "poly4"
     if backend == "polyphase":
         from vocoder_tpu.ops.antialias import aa_snake_polyphase
 
         return aa_snake_polyphase(x, alpha, beta, logscale)
+    if backend == "poly4":
+        from vocoder_tpu.ops.antialias import aa_snake_poly4
+
+        return aa_snake_poly4(x, alpha, beta, logscale)
     if backend == "pallas" and jax.default_backend() != "cpu":
         from vocoder_tpu.ops.pallas.aa_snake import fused_aa_snake
 
@@ -105,17 +140,23 @@ def _amp_init(key, channels: int, kernel_size: int, dilations: tuple, cfg: BigVG
     return {"convs1": convs1, "convs2": convs2, "activations": acts}
 
 
-def _amp_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, cfg: BigVGANConfig) -> jnp.ndarray:
+def _amp_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, cfg: BigVGANConfig, training: bool = False, fold: int = 1) -> jnp.ndarray:
     acts1 = p["activations"][::2]
     acts2 = p["activations"][1::2]
     t, c = x.shape[1], x.shape[2]
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
         pad1 = nn.get_padding(kernel_size, d)
         pad2 = nn.get_padding(kernel_size)
-        xt = _aa_snake(a1, x, cfg.snake_logscale)
-        xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
-        xt = _aa_snake(a2, xt, cfg.snake_logscale)
-        xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
+        xt = _aa_snake(a1, x, cfg.snake_logscale, training, fold)
+        if fold > 1:
+            xt = nn.conv1d_folded_io(c1, xt, padding=pad1, dilation=d, fold=fold)
+        else:
+            xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
+        xt = _aa_snake(a2, xt, cfg.snake_logscale, training, fold)
+        if fold > 1:
+            xt = nn.conv1d_folded_io(c2, xt, padding=pad2, fold=fold)
+        else:
+            xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
         x = xt + x
     return x
 
@@ -175,10 +216,25 @@ def apply(
 
     amp = _amp_apply
     if cfg.checkpointing:
-        amp = jax.checkpoint(_amp_apply, static_argnums=(2, 3, 4))
+        amp = jax.checkpoint(_amp_apply, static_argnums=(2, 3, 4, 5, 6))
 
+    b = x.shape[0]
+    r = 1  # current time-fold factor of x: x is (B, T/r, r*C)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-        x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
+        if r > 1 and (k - u) % 2 == 0:
+            x = nn.conv_transpose1d_folded_io(params["ups"][i], x, stride=u, padding=(k - u) // 2, fold=r)
+            r *= u
+        else:
+            if r > 1:
+                x = x.reshape(b, -1, x.shape[2] // r)
+                r = 1
+            x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        t_cur = x.shape[1] * r
+        if r == 1:
+            r = _tail_fold(c_out, t_cur)
+            if r > 1:
+                x = x.reshape(b, t_cur // r, r * c_out)
         if cfg.use_template:
             nc = params["noise_convs"][i]
             if i + 1 < len(cfg.upsample_rates):
@@ -186,15 +242,19 @@ def apply(
                 noise = nn.conv1d(nc, template_t, stride=stride_f0, padding=stride_f0 // 2)
             else:
                 noise = nn.conv1d(nc, template_t)
-            x = x + noise
+            x = x + (noise.reshape(b, t_cur // r, r * c_out) if r > 1 else noise)
         outs = [
-            amp(params["resblocks"][i * n_k + j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], cfg)
+            amp(params["resblocks"][i * n_k + j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], cfg, training, r)
             for j in range(n_k)
         ]
         x = sum(outs) / n_k
 
-    x = _aa_snake(params["post_act"], x, True)
-    x = nn.conv1d(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size))
+    x = _aa_snake(params["post_act"], x, True, training, r)
+    if r > 1:
+        x = nn.conv1d_folded_io(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size), fold=r)
+        x = x.reshape(b, -1, 1)
+    else:
+        x = nn.conv1d(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size))
     x = jnp.tanh(x)
     return jnp.transpose(x, (0, 2, 1))
 

@@ -59,22 +59,54 @@ def _resblock_init(key, channels: int, kernel_size: int, dilations: tuple) -> di
     return {"convs1": convs1, "convs2": convs2}
 
 
-def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple) -> jnp.ndarray:
+# Small-channel tail stages (C < 128) keep activations TIME-FOLDED: x is
+# carried as (B, T/r, r*C) with r*C = 128, upsamples grow r in place
+# (nn.conv_transpose1d_folded_io), and every conv/SiLU/residual runs
+# lane-dense.  Without this, XLA pads the C<128 minor dim to the 128-lane
+# tile, so the (B, 65536, 16)-shaped late stages waste 8x of both VPU and
+# HBM traffic on every elementwise op — profiling shows them at ~30% of the
+# whole GAN train step (181 -> 82 ms/step with MRD folding, v5e b8 bf16).
+# "auto" folds when TRAINING on TPU only: the inference forward is conv-bound
+# (no backward elementwise fusions), and the folded convs' structural-zero
+# FLOPs lose there (b128 throughput 230 vs 179 ms/call measured).
+TAIL_FOLD = "auto"  # "auto" | "on" | "off"
+
+
+def _tail_fold(c: int, t: int, training: bool = True) -> int:
+    """Fold factor to enter a stage with C channels over T samples (1 = off)."""
+    mode = TAIL_FOLD
+    if mode == "off" or (mode == "auto" and (jax.default_backend() != "tpu" or not training)):
+        return 1
+    if c >= 128:
+        return 1
+    r = 128 // c
+    while r > 1 and t % r:
+        r //= 2
+    return r
+
+
+def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, fold: int = 1) -> jnp.ndarray:
     t, c = x.shape[1], x.shape[2]
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
         pad1 = nn.get_padding(kernel_size, d)
         pad2 = nn.get_padding(kernel_size)
         xt = nn.silu(x)
-        xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
+        if fold > 1:
+            xt = nn.conv1d_folded_io(c1, xt, padding=pad1, dilation=d, fold=fold)
+        else:
+            xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
         xt = nn.silu(xt)
-        xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
+        if fold > 1:
+            xt = nn.conv1d_folded_io(c2, xt, padding=pad2, fold=fold)
+        else:
+            xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
         x = x + xt
     return x
 
 
-def _parallel_block_apply(p: dict, x: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
+def _parallel_block_apply(p: dict, x: jnp.ndarray, cfg: HiFiGANConfig, fold: int = 1) -> jnp.ndarray:
     outs = [
-        _resblock_apply(block, x, k, d)
+        _resblock_apply(block, x, k, d, fold)
         for block, k, d in zip(p["blocks"], cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
     ]
     return sum(outs) / len(outs)
@@ -138,11 +170,26 @@ def apply(
 
     block_fn = _parallel_block_apply
     if cfg.checkpointing:
-        block_fn = jax.checkpoint(_parallel_block_apply, static_argnums=(2,))
+        block_fn = jax.checkpoint(_parallel_block_apply, static_argnums=(2, 3))
 
+    b = x.shape[0]
+    r = 1  # current time-fold factor of x: x is (B, T/r, r*C)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
         x = nn.silu(x)
-        x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        if r > 1 and (k - u) % 2 == 0:
+            x = nn.conv_transpose1d_folded_io(params["ups"][i], x, stride=u, padding=(k - u) // 2, fold=r)
+            r *= u
+        else:
+            if r > 1:  # odd k-u: leave the folded domain for this upsample
+                x = x.reshape(b, -1, x.shape[2] // r)
+                r = 1
+            x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        t_cur = x.shape[1] * r
+        if r == 1:
+            r = _tail_fold(c_out, t_cur, training)
+            if r > 1:
+                x = x.reshape(b, t_cur // r, r * c_out)
         if cfg.use_template:
             nc = params["noise_convs"][i]
             if i + 1 < len(cfg.upsample_rates):
@@ -150,11 +197,15 @@ def apply(
                 noise = nn.conv1d(nc, template_t, stride=stride_f0, padding=stride_f0 // 2)
             else:
                 noise = nn.conv1d(nc, template_t)
-            x = x + noise
-        x = block_fn(params["resblocks"][i], x, cfg)
+            x = x + (noise.reshape(b, t_cur // r, r * c_out) if r > 1 else noise)
+        x = block_fn(params["resblocks"][i], x, cfg, r)
 
     x = nn.silu(x)
-    x = nn.conv1d(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size))
+    if r > 1:
+        x = nn.conv1d_folded_io(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size), fold=r)
+        x = x.reshape(b, -1, 1)
+    else:
+        x = nn.conv1d(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size))
     x = jnp.tanh(x)
     return jnp.transpose(x, (0, 2, 1))  # (B, 1, T*hop)
 

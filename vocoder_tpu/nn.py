@@ -193,15 +193,22 @@ def _fold_index(k: int, r: int, padding: int, dilation: int):
     return idx, mask, qmin, qmax
 
 
-def _conv1d_folded(p: Params, x: jnp.ndarray, w: jnp.ndarray, *, padding: int, dilation: int, fold: int, precision):
+def conv1d_folded_io(p: Params, xf: jnp.ndarray, *, padding: int, dilation: int = 1, fold: int, precision=None) -> jnp.ndarray:
+    """Stride-1 "same"-padded dilated conv directly ON a time-folded array.
+
+    xf: (B, T/r, r*C_in) with time step t = q*r + i living in channel block i
+    -> (B, T/r, r*C_out), same convention.  Unlike conv1d(fold=...), the input
+    and output stay folded, so a chain of convs + elementwise ops (an MRF
+    resblock) keeps the lane dimension dense at any channel count instead of
+    paying the 128-lane tile padding of a C<128 minor dim around every op.
+    """
+    w = weight_norm_weight(p)
     k, cin, cout = w.shape
-    b, t, _ = x.shape
     r = fold
     idx, mask, qmin, qmax = _fold_index(k, r, padding, dilation)
     # Folded weight: (Q, r*cin, r*cout).
     wf = w[jnp.asarray(idx)] * jnp.asarray(mask)[..., None, None]  # (Q, r, r, cin, cout)
-    wf = jnp.transpose(wf, (0, 1, 3, 2, 4)).reshape(idx.shape[0], r * cin, r * cout).astype(x.dtype)
-    xf = x.reshape(b, t // r, r * cin)
+    wf = jnp.transpose(wf, (0, 1, 3, 2, 4)).reshape(idx.shape[0], r * cin, r * cout).astype(xf.dtype)
     y = lax.conv_general_dilated(
         xf,
         wf,
@@ -209,11 +216,77 @@ def _conv1d_folded(p: Params, x: jnp.ndarray, w: jnp.ndarray, *, padding: int, d
         padding=[(-qmin, qmax)],
         dimension_numbers=("NHC", "HIO", "NHC"),
         precision=precision or DEFAULT_PRECISION,
-        preferred_element_type=x.dtype,
+        preferred_element_type=xf.dtype,
     )  # (B, T/r, r*cout)
-    y = y.reshape(b, t, cout)
     if "b" in p:
-        y = y + p["b"]
+        y = y + jnp.tile(p["b"], r)
+    return y
+
+
+def _conv1d_folded(p: Params, x: jnp.ndarray, w: jnp.ndarray, *, padding: int, dilation: int, fold: int, precision):
+    _k, cin, cout = w.shape
+    b, t, _ = x.shape
+    xf = x.reshape(b, t // fold, fold * cin)
+    y = conv1d_folded_io(p, xf, padding=padding, dilation=dilation, fold=fold, precision=precision)
+    return y.reshape(b, t, cout)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_index_transpose(k: int, u: int, padding: int, r: int):
+    """Selection tensor for a stride-u transposed conv on r-folded input.
+
+    y[t_out, co] = sum_tau x[(t_out + tau - (k-1-p)) / u, ci] * w[tau, ci, co]
+    over taps where u divides the numerator (the lhs-dilated correlation of
+    conv_transpose1d).  With t_out = q*(r*u) + j the contributing input row is
+    q*r + Q*r + i, giving one folded tap Q coupling input phase i to output
+    phase j through original tap tau.
+    """
+    import numpy as _np
+
+    ru = r * u
+    taps = []
+    for j in range(ru):
+        for tau in range(k):
+            s = j + tau - (k - 1 - padding)
+            if s % u:
+                continue
+            ip = s // u
+            taps.append((ip // r, ip % r, j, tau))
+    qmin = min(t[0] for t in taps)
+    qmax = max(t[0] for t in taps)
+    sel = _np.zeros((qmax - qmin + 1, r, ru, k), _np.float32)
+    for q, i, j, tau in taps:
+        sel[q - qmin, i, j, tau] = 1.0
+    return sel, qmin, qmax
+
+
+def conv_transpose1d_folded_io(p: Params, xf: jnp.ndarray, *, stride: int, padding: int, fold: int, precision=None) -> jnp.ndarray:
+    """conv_transpose1d directly on a time-folded array.
+
+    xf: (B, T/r, r*C_in) -> (B, T/r, (r*stride)*C_out): the output fold factor
+    grows by the upsample rate, so as channels halve while the rate doubles the
+    folded channel width r*C stays constant across an upsampling stack — the
+    whole generator tail runs lane-dense with no reshapes between stages.
+    Requires the "same-length" padding (k - stride even, padding=(k-stride)//2)
+    used by HiFiGAN/BigVGAN so the output is exactly stride*T samples.
+    """
+    w = weight_norm_weight(p)
+    k, cin, cout = w.shape
+    r = fold
+    sel, qmin, qmax = _fold_index_transpose(k, stride, padding, r)
+    wf = jnp.einsum("qijt,tco->qicjo", jnp.asarray(sel, w.dtype), w)
+    wf = wf.reshape(sel.shape[0], r * cin, r * stride * cout).astype(xf.dtype)
+    y = lax.conv_general_dilated(
+        xf,
+        wf,
+        window_strides=(1,),
+        padding=[(-qmin, qmax)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision or DEFAULT_PRECISION,
+        preferred_element_type=xf.dtype,
+    )  # (B, T/r, r*stride*cout)
+    if "b" in p:
+        y = y + jnp.tile(p["b"], r * stride)
     return y
 
 

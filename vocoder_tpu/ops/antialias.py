@@ -276,6 +276,108 @@ def apply_aa_edges(x, z, alpha, beta, edge: int = 4, window: int = 32):
     return z
 
 
+def aa_snake_poly4(
+    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool
+) -> jnp.ndarray:
+    """Polyphase aa-snake as FOUR plain depthwise convs, XLA autodiff.
+
+    Same math as aa_snake_polyphase but with separate se/so branches (no
+    channel-multiplier conv, no custom VJP): autodiff saves the
+    pre-activations as residuals instead of recomputing them, which can win
+    in training where the fused-branch forward's backward recompute adds six
+    extra convs.
+    """
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    t = x.shape[1]
+    f_e, f_o, g_o, g_e = polyphase_taps()
+    a2 = alpha[None, :].astype(jnp.float32)
+    b2 = beta[None, :].astype(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (5, 6), (0, 0)), mode="edge")
+    se = _snake_f32(2.0 * _dwconv(xp[:, : t + 10, :], tuple(f_e)).astype(jnp.float32), a2, b2).astype(x.dtype)
+    so = _snake_f32(2.0 * _dwconv(xp[:, : t + 10, :], tuple(f_o)).astype(jnp.float32), a2, b2).astype(x.dtype)
+    z = _dwconv(se, tuple(g_o)) + _dwconv(so, tuple(g_e))  # (B, T, C)
+    return apply_aa_edges(x, z, alpha, beta)
+
+
+def _dwconv_folded(vf: jnp.ndarray, taps, r: int, padding: int, c: int) -> jnp.ndarray:
+    """Depthwise correlation y[t] = sum_tau taps[tau] * v[t + tau - padding]
+    evaluated directly on a time-folded (B, T/r, r*C) array (zero padding).
+
+    The folded weight expands the per-fold-phase tap matrix with a channel
+    identity — heavy in structural-zero FLOPs, but depthwise FLOPs are
+    trivial and the payoff is that the surrounding snake/elementwise ops stay
+    on lane-dense arrays instead of a C<128 minor dim padded to the 128-lane
+    tile.
+    """
+    from vocoder_tpu import nn
+
+    idx, mask, qmin, qmax = nn._fold_index(len(taps), r, padding, 1)
+    tf = jnp.asarray(np.asarray(taps, np.float32)[idx] * mask, vf.dtype)  # (Q, r, r)
+    wf = jnp.einsum("qij,cd->qicjd", tf, jnp.eye(c, dtype=vf.dtype)).reshape(idx.shape[0], r * c, r * c)
+    return lax.conv_general_dilated(
+        vf, wf, window_strides=(1,), padding=[(-qmin, qmax)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def aa_snake_poly4_folded(
+    xf: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool, fold: int
+) -> jnp.ndarray:
+    """aa_snake_poly4 on a time-folded (B, T/r, r*C) array, staying folded.
+
+    Interior uses zero padding (not the pipeline's edge replication), which
+    contaminates <= 5 output samples per side on top of the usual interior-
+    formula edge difference — both are fixed by recomputing whole edge ROW
+    blocks with the unfused composition on small unfolded windows and
+    splicing them in, so the result equals unfold(aa_snake_poly4(fold(x))).
+    """
+    r = fold
+    b, rows, rc = xf.shape
+    c = rc // r
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    a_f = jnp.tile(alpha, r)[None, :].astype(jnp.float32)
+    b_f = jnp.tile(beta, r)[None, :].astype(jnp.float32)
+    f_e, f_o, g_o, g_e = polyphase_taps()
+
+    pad_rows = -(-6 // r)  # se/so are needed out to sample T+4
+    xe = jnp.pad(xf, ((0, 0), (0, pad_rows), (0, 0)))
+    se = _snake_f32(2.0 * _dwconv_folded(xe, f_e, r, 5, c).astype(jnp.float32), a_f, b_f).astype(xf.dtype)
+    so = _snake_f32(2.0 * _dwconv_folded(xe, f_o, r, 5, c).astype(jnp.float32), a_f, b_f).astype(xf.dtype)
+    z = _dwconv_folded(se, g_o, r, 0, c) + _dwconv_folded(so, g_e, r, 0, c)
+    z = z[:, :rows]
+
+    # Edge rows recomputed unfused on unfolded windows (covers both the
+    # zero-pad contamination, 5 samples, and the interior-formula edge
+    # difference).
+    er = -(-6 // r)
+    win_rows = min(rows, max(4 * er, -(-32 // r)))
+    a2 = alpha[None, :].astype(jnp.float32)
+    b2 = beta[None, :].astype(jnp.float32)
+
+    def unfused(v):
+        return downsample1d(_snake_f32(upsample1d(v, 2).astype(jnp.float32), a2, b2).astype(v.dtype), 2)
+
+    def unfold(v):
+        return v.reshape(b, -1, r, c).reshape(b, -1, c)
+
+    def refold(v, n_rows):
+        return v.reshape(b, n_rows, r * c)
+
+    if rows >= 2 * win_rows:
+        left = unfused(unfold(xf[:, :win_rows]))[:, : er * r]
+        right = unfused(unfold(xf[:, rows - win_rows :]))[:, -er * r :]
+        z = z.at[:, :er].set(refold(left, er))
+        z = z.at[:, rows - er :].set(refold(right, er))
+    else:
+        z = refold(unfused(unfold(xf)), rows)
+    return z
+
+
 def aa_snake_polyphase(
     x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool
 ) -> jnp.ndarray:

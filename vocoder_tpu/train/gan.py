@@ -76,6 +76,11 @@ class GANTaskConfig:
     # reference trains pure fp32/tf32 (trainer/default.yaml precision "32");
     # this is the TPU-native speed mode.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # MXU precision of the loss-path DFT/mel matmuls (MR-STFT + mel-L1 +
+    # input transform).  "highest" = 6-pass fp32 emulation (exact, default);
+    # "high" = 3-pass (>= the reference's TF32 cuFFT-adjacent quality,
+    # train.py:12-13 enables TF32); "default" = single-pass bf16.
+    spectral_precision: str = "highest"  # "highest" | "high" | "default"
 
     def replace(self, **kw) -> "GANTaskConfig":
         return dataclasses.replace(self, **kw)
@@ -174,6 +179,14 @@ def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
     return (idx < lengths[:, None]).astype(jnp.float32)[:, None, :]
 
 
+def spectral_precision(cfg: GANTaskConfig):
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[cfg.spectral_precision]
+
+
 def input_transform(cfg: GANTaskConfig, audio: jnp.ndarray) -> jnp.ndarray:
     """audio (B, T) -> input features (B, C, frames); gan.py:284."""
     if cfg.input_transform == "mel":
@@ -185,9 +198,13 @@ def input_transform(cfg: GANTaskConfig, audio: jnp.ndarray) -> jnp.ndarray:
             win_length=cfg.win_length,
             n_mels=cfg.num_mels,
             f_max=cfg.sampling_rate // 2,
+            precision=spectral_precision(cfg),
         )
     if cfg.input_transform == "linear":
-        return linear_spectrogram(audio, n_fft=cfg.n_fft, hop_length=cfg.hop_length, win_length=cfg.win_length)
+        return linear_spectrogram(
+            audio, n_fft=cfg.n_fft, hop_length=cfg.hop_length, win_length=cfg.win_length,
+            precision=spectral_precision(cfg),
+        )
     raise ValueError(cfg.input_transform)
 
 
@@ -200,6 +217,7 @@ def loss_mel_transform(cfg: GANTaskConfig, audio: jnp.ndarray) -> jnp.ndarray:
         win_length=cfg.win_length,
         n_mels=cfg.num_mels,
         f_max=cfg.sampling_rate // 2,
+        precision=spectral_precision(cfg),
     )
 
 
@@ -341,7 +359,9 @@ def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rn
     audio_m = audio * mask
     fake_m = fake * mask
 
-    sc_loss, mag_loss = multi_resolution_stft_loss(fake_m[:, 0], audio_m[:, 0], cfg.stft_resolutions)
+    sc_loss, mag_loss = multi_resolution_stft_loss(
+        fake_m[:, 0], audio_m[:, 0], cfg.stft_resolutions, spectral_precision(cfg)
+    )
     loss_stft = sc_loss + mag_loss
 
     audio_mel = loss_mel_transform(cfg, audio_m[:, 0])
