@@ -48,3 +48,54 @@ def test_peak_normalize():
     np.testing.assert_allclose(np.abs(y).max(), 0.99, rtol=1e-5)
     z = np.asarray([0.1, -0.5], np.float32)
     np.testing.assert_array_equal(native.peak_normalize_inplace(z.copy()), z)
+
+
+def _python_read_flac(path):
+    """Force the pure-Python decoder (the behaviour oracle)."""
+    from vocoder_tpu.data import flac as flac_mod
+
+    old = native.flac_decode
+    native.flac_decode = lambda data: None
+    try:
+        return flac_mod.read_flac(path)
+    finally:
+        native.flac_decode = old
+
+
+def test_native_flac_decode_bit_exact(tmp_path):
+    """C++ flac_decode == pure-Python decoder, bit for bit, across subframe
+    types (LPC tonal, verbatim-ish noise, constant) and channel layouts."""
+    from vocoder_tpu.data.flac import write_flac
+
+    rng = np.random.default_rng(0)
+    sr = 24000
+    t = np.arange(sr)
+    fixtures = {
+        "tonal-mono": (0.4 * np.sin(2 * np.pi * 220 * t / sr)).astype(np.float32),
+        "noise-mono": (0.3 * rng.standard_normal(sr)).astype(np.float32),
+        "silence": np.zeros(sr // 2, np.float32),
+    }
+    tone = fixtures["tonal-mono"]
+    fixtures["stereo"] = np.stack([tone, 0.7 * tone[::-1]])
+    for name, x in fixtures.items():
+        p = tmp_path / f"{name}.flac"
+        write_flac(p, x, sr)
+        got = native.flac_decode(p.read_bytes())
+        assert got is not None
+        y_n, sr_n = got
+        y_p, sr_p = _python_read_flac(p)
+        assert sr_n == sr_p == sr
+        assert y_n.shape == y_p.shape
+        np.testing.assert_array_equal(y_n, y_p)
+
+
+def test_native_flac_rejects_corrupt_header(tmp_path):
+    from vocoder_tpu.data.flac import write_flac
+
+    p = tmp_path / "x.flac"
+    write_flac(p, np.sin(np.arange(24000) / 30).astype(np.float32) * 0.4, 24000)
+    data = bytearray(p.read_bytes())
+    i = bytes(data).find(b"\xff\xf8", 100)  # second frame header
+    data[i + 3] ^= 0x10
+    with pytest.raises(ValueError):
+        native.flac_decode(bytes(data))

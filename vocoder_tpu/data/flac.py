@@ -296,10 +296,25 @@ def _decode_subframe(br: BitReader, block_size: int, bps: int) -> np.ndarray:
 
 
 def read_flac(path: str | Path) -> tuple[np.ndarray, int]:
-    """Decode FLAC -> (float32 (channels, T) in [-1, 1], sample_rate)."""
+    """Decode FLAC -> (float32 (channels, T) in [-1, 1], sample_rate).
+
+    Hot path is the C++ decoder (native/audio_kernels.cc flac_decode, ~2
+    orders of magnitude faster — the pure-Python decode below cannot feed the
+    train step); this Python implementation is the behaviour oracle, the
+    fallback without a compiler, and the path for streams with an unknown
+    total length.
+    """
     data = Path(path).read_bytes()
     if data[:4] != b"fLaC":
         raise ValueError(f"{path}: not a FLAC stream")
+    try:
+        from vocoder_tpu.data import native
+
+        decoded = native.flac_decode(data)
+    except ValueError as e:
+        raise ValueError(f"{path}: {e}") from None
+    if decoded is not None:
+        return decoded
     pos = 4
     info = None
     while True:

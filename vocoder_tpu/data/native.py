@@ -26,8 +26,13 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists():
+        # make is mtime-aware: a no-op when the .so is current, a rebuild when
+        # audio_kernels.cc gained symbols since the .so was produced.
+        try:
             subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        except Exception:
+            if not _LIB_PATH.exists():
+                raise
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.decode_pcm16.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
         lib.decode_pcm24.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
@@ -46,6 +51,18 @@ def _load():
         lib.peak_abs.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.peak_abs.restype = ctypes.c_float
         lib.scale_inplace.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_float]
+        lib.flac_probe.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.flac_probe.restype = ctypes.c_int
+        lib.flac_decode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.flac_decode.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -70,6 +87,32 @@ def decode_pcm(data: bytes, bits: int, channels: int) -> np.ndarray | None:
         return None
     fn(buf.ctypes.data, out.ctypes.data, frames, channels)
     return out
+
+
+def flac_decode(data: bytes) -> tuple[np.ndarray, int] | None:
+    """FLAC bytes -> (float32 (channels, T), sample_rate) via the C++ decoder.
+
+    Returns None when the library is unavailable or the stream needs the
+    pure-Python decoder (unknown total length); raises ValueError on corrupt
+    streams, mirroring vocoder_tpu.data.flac.read_flac semantics.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    info = np.zeros(5, np.int64)
+    if lib.flac_probe(buf.ctypes.data, len(buf), info.ctypes.data) != 0:
+        raise ValueError("not a FLAC stream")
+    sr, channels, bps, total, start_bits = (int(v) for v in info)
+    if total == 0:
+        return None  # unknown length: pure-Python path handles it
+    out = np.empty((channels, total), np.float32)
+    got = lib.flac_decode(buf.ctypes.data, len(buf), start_bits, channels, bps, total, out.ctypes.data)
+    if got < 0:
+        raise ValueError(f"corrupt FLAC stream (native decoder error {got})")
+    if got < total:
+        raise ValueError(f"truncated stream — {got} of {total} declared samples")
+    return out, sr
 
 
 def resample_native(x: np.ndarray, orig_freq: int, new_freq: int, kernels: np.ndarray, width: int) -> np.ndarray | None:
