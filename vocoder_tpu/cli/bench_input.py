@@ -24,14 +24,18 @@ from pathlib import Path
 import numpy as np
 
 
-def _make_corpus(root: Path, n_files: int, seconds: float, sr: int) -> None:
+def _make_corpus(root: Path, n_files: int, seconds: float, sr: int, fmt: str = "wav") -> None:
     from vocoder_tpu.data.audio_io import write_wav
+    from vocoder_tpu.data.flac import write_flac
 
     rng = np.random.default_rng(0)
     for i in range(n_files):
         t = np.arange(int(sr * seconds)) / sr
         wave = 0.4 * np.sin(2 * np.pi * (120 + 17 * i) * t) + 0.02 * rng.standard_normal(t.shape)
-        write_wav(root / f"clip{i:03d}.wav", wave.astype(np.float32), sr)
+        if fmt == "flac":
+            write_flac(root / f"clip{i:03d}.flac", wave.astype(np.float32), sr)
+        else:
+            write_wav(root / f"clip{i:03d}.wav", wave.astype(np.float32), sr)
 
 
 def main(argv=None):
@@ -43,6 +47,8 @@ def main(argv=None):
     ap.add_argument("--hop", type=int, default=512)
     ap.add_argument("--sr", type=int, default=44100)
     ap.add_argument("--batches", type=int, default=30)
+    ap.add_argument("--format", default="wav", choices=("wav", "flac"),
+                    help="synthetic-corpus codec (flac = native C++ decode path)")
     args = ap.parse_args(argv)
 
     from vocoder_tpu.data import transforms as T
@@ -53,7 +59,7 @@ def main(argv=None):
     if corpus is None:
         tmp = tempfile.TemporaryDirectory()
         corpus = Path(tmp.name)
-        _make_corpus(corpus, n_files=24, seconds=4.0, sr=args.sr)
+        _make_corpus(corpus, n_files=24, seconds=4.0, sr=args.sr, fmt=args.format)
 
     tr = T.train_transform(args.sr, args.hop, args.num_frames)
     ds = VocoderDataset(root=corpus, transform=tr)
@@ -74,6 +80,7 @@ def main(argv=None):
         it.close()
         rec = {
             "metric": "input_pipeline_batches_per_s",
+            "format": args.format if args.corpus is None else "corpus",
             "num_workers": workers,
             "batch_size": args.batch,
             "value": round(args.batches / dt, 2),
