@@ -63,8 +63,8 @@ def vae_encode(params: dict, spec: jnp.ndarray, cfg: VAEGeneratorConfig) -> jnp.
     return wavenet.apply(params["encoder"], spec, cfg.encoder)  # vqvae-mode raw out
 
 
-def vae_decode(params: dict, z: jnp.ndarray, cfg) -> jnp.ndarray:
-    return hifigan.apply(params["decoder"], z, cfg.decoder)
+def vae_decode(params: dict, z: jnp.ndarray, cfg, training: bool = False) -> jnp.ndarray:
+    return hifigan.apply(params["decoder"], z, cfg.decoder, training=training)
 
 
 def vqvae_init(key, cfg: VQVAEGeneratorConfig) -> tuple[dict, dict]:
@@ -78,8 +78,8 @@ def vqvae_encode(params: dict, spec: jnp.ndarray, cfg: VQVAEGeneratorConfig) -> 
     return wavenet.apply(params["encoder"], spec, cfg.encoder)
 
 
-def vqvae_decode(params: dict, z: jnp.ndarray, cfg: VQVAEGeneratorConfig) -> jnp.ndarray:
-    return hifigan.apply(params["decoder"], z, cfg.decoder)
+def vqvae_decode(params: dict, z: jnp.ndarray, cfg: VQVAEGeneratorConfig, training: bool = False) -> jnp.ndarray:
+    return hifigan.apply(params["decoder"], z, cfg.decoder, training=training)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,8 +121,8 @@ def ssl_encode(params: dict, features: jnp.ndarray, cfg: SSLCodecGeneratorConfig
     return jnp.transpose(x, (0, 2, 1))
 
 
-def ssl_decode(params: dict, z: jnp.ndarray, cfg: SSLCodecGeneratorConfig) -> jnp.ndarray:
-    return hifigan.apply(params["decoder"], z, cfg.decoder)
+def ssl_decode(params: dict, z: jnp.ndarray, cfg: SSLCodecGeneratorConfig, training: bool = False) -> jnp.ndarray:
+    return hifigan.apply(params["decoder"], z, cfg.decoder, training=training)
 
 
 def ssl_encode_to_codes(params: dict, vq_state: dict, features: jnp.ndarray, cfg: SSLCodecGeneratorConfig) -> jnp.ndarray:

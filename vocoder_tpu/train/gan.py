@@ -298,7 +298,7 @@ def generator_forward(
             z = mean + eps * jnp.exp(0.5 * logvar)
         else:
             z = mean
-        fake = vae_mod.vae_decode(gen_params, z, cfg.generator)
+        fake = vae_mod.vae_decode(gen_params, z, cfg.generator, training=training)
         kl = 0.5 * jnp.mean(jnp.square(mean) + jnp.exp(logvar) - logvar - 1.0)
         return fake, kl, extra, {"train/generator/kl": kl}
 
@@ -309,7 +309,7 @@ def generator_forward(
         quantized, _codes, vq_loss, new_vq = vq_mod.apply(
             extra["vq"], latent, cfg.generator.vq, training=training
         )
-        fake = vae_mod.vqvae_decode(gen_params, quantized, cfg.generator)
+        fake = vae_mod.vqvae_decode(gen_params, quantized, cfg.generator, training=training)
         fake = _length_fix(fake, audio.shape[2], cfg.hop_length)
         new_extra = {**(extra or {}), "vq": new_vq}
         return fake, jnp.zeros(()), new_extra, {"train/generator/vq": vq_loss}
@@ -330,7 +330,7 @@ def generator_forward(
         quantized, _codes, vq_loss, new_vq = vq_mod.apply(
             extra["vq"], latent, cfg.generator.vq, training=training
         )
-        fake = vae_mod.ssl_decode(gen_params, quantized, cfg.generator)
+        fake = vae_mod.ssl_decode(gen_params, quantized, cfg.generator, training=training)
         fake = _length_fix(fake, audio.shape[2], cfg.hop_length)
         new_extra = {**(extra or {}), "vq": new_vq}
         return fake, jnp.zeros(()), new_extra, {"train/generator/vq": vq_loss}
