@@ -132,6 +132,7 @@ struct BitReader {
     uint64_t v = b0;
     if (b0 < 0x80) return b0;
     for (uint64_t mask = 0x40; b0 & mask; mask >>= 1) { ++extra; }
+    if (extra > 6) { fail = true; return 0; }  // lead byte 0xFE/0xFF: invalid
     v = b0 & ((1ull << (6 - extra)) - 1);
     for (int i = 0; i < extra; ++i) v = (v << 6) | (read(8) & 0x3F);
     return v;
@@ -299,6 +300,7 @@ int64_t flac_decode(const uint8_t* data, int64_t n, int64_t start_bits, int chan
     uint8_t want = flac::crc8(data + header_start_byte, header_end_byte - header_start_byte);
     if (br.fail || (uint8_t)br.read(8) != want) return -6;
 
+    if (ch_code > 10) return -10;  // reserved channel assignment (Python parity)
     int n_sub = ch_code < 8 ? ch_code + 1 : 2;
     if (ch_code < 8 && n_sub != channels) return -7;
     for (int c = 0; c < n_sub; ++c) {

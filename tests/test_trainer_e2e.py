@@ -60,7 +60,12 @@ def test_train_loop_checkpoints_and_resumes(wav_dir, tmp_path):
     assert any("train/generator/all" in rec for rec in lines)
     assert any("val/metrics/mel" in rec for rec in lines)
 
-    # Auto-resume continues from the saved step.
+    # Auto-resume continues from the saved step — including when the saved
+    # config.json predates a newly-added GANTaskConfig field (schema
+    # evolution must not trip the mismatch guard).
+    cfg_json = json.loads((workdir / "config.json").read_text())
+    cfg_json["task"].pop("spectral_precision")
+    (workdir / "config.json").write_text(json.dumps(cfg_json))
     cfg2 = _train_cfg(wav_dir, workdir, max_steps=5)
     state2 = train(cfg2)
     assert int(state2.step) == 5

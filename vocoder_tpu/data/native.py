@@ -27,9 +27,15 @@ def _load():
     _tried = True
     try:
         # make is mtime-aware: a no-op when the .so is current, a rebuild when
-        # audio_kernels.cc gained symbols since the .so was produced.
+        # audio_kernels.cc gained symbols since the .so was produced.  The
+        # flock serialises concurrent first-use across worker processes so no
+        # one dlopens a half-written .so.
         try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+            import fcntl
+
+            with open(_NATIVE_DIR / ".build.lock", "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
         except Exception:
             if not _LIB_PATH.exists():
                 raise
@@ -106,6 +112,16 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int] | None:
     sr, channels, bps, total, start_bits = (int(v) for v in info)
     if total == 0:
         return None  # unknown length: pure-Python path handles it
+    # Sanity-bound the untrusted 36-bit STREAMINFO total BEFORE allocating:
+    # even all-constant silence compresses no better than a few bytes per
+    # 4096-sample block, so cap the claimed expansion and the absolute size
+    # rather than attempting a multi-TB np.empty on a corrupt header.
+    out_bytes = total * channels * 4
+    if out_bytes > max(16384 * len(data), 1 << 20) or out_bytes > (8 << 30):
+        raise ValueError(
+            f"implausible FLAC STREAMINFO: {total} samples x {channels} ch "
+            f"declared by a {len(data)}-byte stream"
+        )
     out = np.empty((channels, total), np.float32)
     got = lib.flac_decode(buf.ctypes.data, len(buf), start_bits, channels, bps, total, out.ctypes.data)
     if got < 0:

@@ -83,21 +83,19 @@ AA_BACKEND = "auto"
 # Small-channel tail stages keep activations time-folded (B, T/r, r*C) with
 # r*C = 128 — see models/hifigan.py TAIL_FOLD for the rationale (XLA pads a
 # C<128 minor dim to the 128-lane tile, wasting 4-8x VPU + HBM on every
-# elementwise op; BigVGAN's anti-aliased snakes are almost all elementwise).
-# When folded, the activation runs as ops/antialias.aa_snake_poly4_folded.
+# elementwise op; BigVGAN's anti-aliased snakes are almost all elementwise,
+# so unlike HiFiGAN the fold wins at inference too and "auto" is not
+# training-gated).  When folded, the activation runs as
+# ops/antialias.aa_snake_poly4_folded.
 TAIL_FOLD = "auto"  # "auto" | "on" | "off"
 
 
-def _tail_fold(c: int, t: int) -> int:
-    mode = TAIL_FOLD
-    if mode == "off" or (mode == "auto" and jax.default_backend() != "tpu"):
-        return 1
-    if c >= 128:
-        return 1
-    r = 128 // c
-    while r > 1 and t % r:
-        r //= 2
-    return r
+def _fold_active() -> bool:
+    if TAIL_FOLD == "off":
+        return False
+    if TAIL_FOLD == "on":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool, training: bool = False, fold: int = 1) -> jnp.ndarray:
@@ -219,22 +217,13 @@ def apply(
         amp = jax.checkpoint(_amp_apply, static_argnums=(2, 3, 4, 5, 6))
 
     b = x.shape[0]
+    active = _fold_active()
     r = 1  # current time-fold factor of x: x is (B, T/r, r*C)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
-        if r > 1 and (k - u) % 2 == 0:
-            x = nn.conv_transpose1d_folded_io(params["ups"][i], x, stride=u, padding=(k - u) // 2, fold=r)
-            r *= u
-        else:
-            if r > 1:
-                x = x.reshape(b, -1, x.shape[2] // r)
-                r = 1
-            x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
-        t_cur = x.shape[1] * r
-        if r == 1:
-            r = _tail_fold(c_out, t_cur)
-            if r > 1:
-                x = x.reshape(b, t_cur // r, r * c_out)
+        x, r, t_cur = nn.folded_stack_upsample(
+            params["ups"][i], x, fold=r, stride=u, kernel=k, c_out=c_out, active=active
+        )
         if cfg.use_template:
             nc = params["noise_convs"][i]
             if i + 1 < len(cfg.upsample_rates):

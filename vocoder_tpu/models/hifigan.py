@@ -72,17 +72,12 @@ def _resblock_init(key, channels: int, kernel_size: int, dilations: tuple) -> di
 TAIL_FOLD = "auto"  # "auto" | "on" | "off"
 
 
-def _tail_fold(c: int, t: int, training: bool = True) -> int:
-    """Fold factor to enter a stage with C channels over T samples (1 = off)."""
-    mode = TAIL_FOLD
-    if mode == "off" or (mode == "auto" and (jax.default_backend() != "tpu" or not training)):
-        return 1
-    if c >= 128:
-        return 1
-    r = 128 // c
-    while r > 1 and t % r:
-        r //= 2
-    return r
+def _fold_active(training: bool) -> bool:
+    if TAIL_FOLD == "off":
+        return False
+    if TAIL_FOLD == "on":
+        return True
+    return jax.default_backend() == "tpu" and training
 
 
 def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, fold: int = 1) -> jnp.ndarray:
@@ -173,23 +168,14 @@ def apply(
         block_fn = jax.checkpoint(_parallel_block_apply, static_argnums=(2, 3))
 
     b = x.shape[0]
+    active = _fold_active(training)
     r = 1  # current time-fold factor of x: x is (B, T/r, r*C)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
         x = nn.silu(x)
-        if r > 1 and (k - u) % 2 == 0:
-            x = nn.conv_transpose1d_folded_io(params["ups"][i], x, stride=u, padding=(k - u) // 2, fold=r)
-            r *= u
-        else:
-            if r > 1:  # odd k-u: leave the folded domain for this upsample
-                x = x.reshape(b, -1, x.shape[2] // r)
-                r = 1
-            x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
-        t_cur = x.shape[1] * r
-        if r == 1:
-            r = _tail_fold(c_out, t_cur, training)
-            if r > 1:
-                x = x.reshape(b, t_cur // r, r * c_out)
+        x, r, t_cur = nn.folded_stack_upsample(
+            params["ups"][i], x, fold=r, stride=u, kernel=k, c_out=c_out, active=active
+        )
         if cfg.use_template:
             nc = params["noise_convs"][i]
             if i + 1 < len(cfg.upsample_rates):

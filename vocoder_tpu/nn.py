@@ -145,9 +145,9 @@ def conv1d(p: Params, x: jnp.ndarray, *, stride=1, padding=0, dilation=1, groups
     key throughput lever for the small-channel late stages of HiFiGAN/BigVGAN
     upsampling stacks (numerically identical; see fold_conv1d_weight).
     """
-    w = weight_norm_weight(p)
     if fold > 1 and stride == 1 and groups == 1 and x.shape[1] % fold == 0:
-        return _conv1d_folded(p, x, w, padding=padding, dilation=dilation, fold=fold, precision=precision)
+        return _conv1d_folded(p, x, padding=padding, dilation=dilation, fold=fold, precision=precision)
+    w = weight_norm_weight(p)
     y = lax.conv_general_dilated(
         x,
         w,
@@ -223,12 +223,11 @@ def conv1d_folded_io(p: Params, xf: jnp.ndarray, *, padding: int, dilation: int 
     return y
 
 
-def _conv1d_folded(p: Params, x: jnp.ndarray, w: jnp.ndarray, *, padding: int, dilation: int, fold: int, precision):
-    _k, cin, cout = w.shape
-    b, t, _ = x.shape
+def _conv1d_folded(p: Params, x: jnp.ndarray, *, padding: int, dilation: int, fold: int, precision):
+    b, t, cin = x.shape
     xf = x.reshape(b, t // fold, fold * cin)
     y = conv1d_folded_io(p, xf, padding=padding, dilation=dilation, fold=fold, precision=precision)
-    return y.reshape(b, t, cout)
+    return y.reshape(b, t, y.shape[2] // fold)
 
 
 @functools.lru_cache(maxsize=None)
@@ -273,6 +272,10 @@ def conv_transpose1d_folded_io(p: Params, xf: jnp.ndarray, *, stride: int, paddi
     w = weight_norm_weight(p)
     k, cin, cout = w.shape
     r = fold
+    # The folded output is exactly stride*T samples only under the models'
+    # "same-length" padding; any other padding would return a plausible shape
+    # with wrong values, so fail fast instead.
+    assert padding == (k - stride) // 2 and (k - stride) % 2 == 0, (k, stride, padding)
     sel, qmin, qmax = _fold_index_transpose(k, stride, padding, r)
     wf = jnp.einsum("qijt,tco->qicjo", jnp.asarray(sel, w.dtype), w)
     wf = wf.reshape(sel.shape[0], r * cin, r * stride * cout).astype(xf.dtype)
@@ -288,6 +291,48 @@ def conv_transpose1d_folded_io(p: Params, xf: jnp.ndarray, *, stride: int, paddi
     if "b" in p:
         y = y + jnp.tile(p["b"], r * stride)
     return y
+
+
+def tail_fold_factor(c: int, t: int, active: bool) -> int:
+    """Time-fold factor entering an upsampling stage (1 = stay unfolded).
+
+    Shared by the HiFiGAN/BigVGAN folded tails; `active` carries each model's
+    policy (HiFiGAN folds only when training — its inference forward is
+    conv-bound; BigVGAN folds whenever on TPU — its anti-aliased activations
+    dominate both modes).
+    """
+    if not active or c >= 128:
+        return 1
+    r = 128 // c
+    while r > 1 and t % r:
+        r //= 2
+    return r
+
+
+def folded_stack_upsample(p_up: Params, x: jnp.ndarray, *, fold: int, stride: int, kernel: int, c_out: int, active: bool):
+    """One upsample step of a possibly-folded stack -> (x, fold', t_cur).
+
+    In the folded regime the transposed conv grows the fold factor in place
+    (fold' = fold*stride, so fold*C stays constant as channels halve); an odd
+    kernel-stride difference exits the folded domain for that stage, and an
+    unfolded stage whose output channels drop below 128 enters it.
+    """
+    b = x.shape[0]
+    pad = (kernel - stride) // 2
+    if fold > 1 and (kernel - stride) % 2 == 0:
+        x = conv_transpose1d_folded_io(p_up, x, stride=stride, padding=pad, fold=fold)
+        fold *= stride
+    else:
+        if fold > 1:
+            x = x.reshape(b, -1, x.shape[2] // fold)
+            fold = 1
+        x = conv_transpose1d(p_up, x, stride=stride, padding=pad)
+    t_cur = x.shape[1] * fold
+    if fold == 1:
+        fold = tail_fold_factor(c_out, t_cur, active)
+        if fold > 1:
+            x = x.reshape(b, t_cur // fold, fold * c_out)
+    return x, fold, t_cur
 
 
 def conv_transpose1d_init(key, in_ch, out_ch, kernel_size, *, bias=True, weight_norm=False, init="torch"):

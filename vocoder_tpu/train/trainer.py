@@ -165,11 +165,15 @@ def _train(cfg: TrainConfig, mesh) -> gan.TrainState:
             task_prev = _json.loads(cfg_path.read_text()).get("task")
         except Exception:
             task_prev = None
-        if task_prev is not None and task_prev != task_now:
-            diff = [
-                k for k in sorted(set(task_prev) | set(task_now))
-                if task_prev.get(k) != task_now.get(k)
-            ]
+        # Compare only keys recorded in the OLD config: fields added to
+        # GANTaskConfig after the checkpoint was written (schema evolution)
+        # must not block resuming it under their defaults.
+        diff = (
+            [k for k in sorted(task_prev) if k in task_now and task_prev[k] != task_now[k]]
+            if task_prev is not None
+            else []
+        )
+        if diff:
             raise SystemExit(
                 f"workdir {workdir} holds a checkpoint (step {ckpt.latest_step()}) "
                 f"trained with a different task config (differs in: {', '.join(diff)}). "
