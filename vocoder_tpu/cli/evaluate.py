@@ -41,6 +41,40 @@ def pesq_score(target: np.ndarray, preds: np.ndarray, sr: int, mode: str) -> flo
     return _pesq(t, p, rate, mode)
 
 
+def _eval_pair(f: Path, g: Path, sr: int, is_vocal: bool) -> dict:
+    """All metrics for one (source, generated) pair; raises on failure."""
+    from vocoder_tpu.eval_metrics import mcd, si_sdr
+
+    s_audio, s_sr = read_audio(f)
+    g_audio, g_sr = read_audio(g)
+    s = resample(s_audio.mean(0), s_sr, sr)
+    p = resample(g_audio.mean(0), g_sr, sr)
+    n = min(len(s), len(p))
+    assert max(len(s) - n, len(p) - n) < 1000, "length mismatch > 1000 samples"
+    s, p = s[:n], p[:n]
+
+    out = {}
+    if is_vocal:
+        out["pesq_nb"] = pesq_score(s, p, sr, "nb")
+        out["pesq_wb"] = pesq_score(s, p, sr, "wb")
+    out["spec_diff"] = spec_difference(s, p, sr)
+    out["si_sdr"] = si_sdr(s, p)
+    out["mcd"] = mcd(s, p, sr)
+    return out
+
+
+def _worker_init():
+    # Metric workers must never touch the accelerator: force the CPU backend
+    # before anything initialises it (a spawn-context process, so this runs
+    # ahead of any jax use).
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Offline vocoder evaluation")
     ap.add_argument("source")
@@ -49,6 +83,7 @@ def main(argv=None):
     ap.add_argument("--glob-pattern", default="*.wav")
     ap.add_argument("--is-vocal", action="store_true", default=True)
     ap.add_argument("--is-instrumental", dest="is_vocal", action="store_false")
+    ap.add_argument("--workers", type=int, default=1, help="parallel metric processes (PESQ is CPU-bound)")
     args = ap.parse_args(argv)
 
     source, generated = Path(args.source), Path(args.generated)
@@ -59,9 +94,7 @@ def main(argv=None):
             f"no files in {source} match {args.glob_pattern!r} — pass "
             "--glob-pattern (e.g. '*.flac') for non-WAV corpora"
         )
-    scores = defaultdict(list)
-    errors = 0
-
+    pairs = []
     for f in files:
         g = generated / f.relative_to(source)
         for suffix in (".flac", ".wav"):
@@ -70,30 +103,42 @@ def main(argv=None):
         if not g.exists():
             print(f"{g} does not exist")
             continue
-        try:
-            s_audio, s_sr = read_audio(f)
-            g_audio, g_sr = read_audio(g)
-            s = resample(s_audio.mean(0), s_sr, args.sr)
-            p = resample(g_audio.mean(0), g_sr, args.sr)
-            n = min(len(s), len(p))
-            assert max(len(s) - n, len(p) - n) < 1000, "length mismatch > 1000 samples"
-            s, p = s[:n], p[:n]
+        pairs.append((f, g))
 
-            if args.is_vocal:
-                scores["pesq_nb"].append(pesq_score(s, p, args.sr, "nb"))
-                scores["pesq_wb"].append(pesq_score(s, p, args.sr, "wb"))
-            scores["spec_diff"].append(spec_difference(s, p, args.sr))
-            from vocoder_tpu.eval_metrics import mcd, si_sdr
+    scores = defaultdict(list)
+    errors = 0
 
-            scores["si_sdr"].append(si_sdr(s, p))
-            scores["mcd"].append(mcd(s, p, args.sr))
-        except Exception as e:
+    def record(f, result):
+        nonlocal errors
+        if isinstance(result, Exception):
             # Per-file tolerance for corrupt clips, but LOUD (the reference's
             # bare `print` at eval.py:87-89 can mask a broken metric as "a few
             # skipped files") and fail-fast when everything fails.
             errors += 1
-            print(f"Error processing {f}: {type(e).__name__}: {e}")
-            continue
+            print(f"Error processing {f}: {type(result).__name__}: {result}")
+            return
+        for k, v in result.items():
+            scores[k].append(v)
+
+    if args.workers > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(
+            max_workers=args.workers, mp_context=mp.get_context("spawn"), initializer=_worker_init
+        ) as pool:
+            futures = [(f, pool.submit(_eval_pair, f, g, args.sr, args.is_vocal)) for f, g in pairs]
+            for f, fut in futures:
+                try:
+                    record(f, fut.result())
+                except Exception as e:
+                    record(f, e)
+    else:
+        for f, g in pairs:
+            try:
+                record(f, _eval_pair(f, g, args.sr, args.is_vocal))
+            except Exception as e:
+                record(f, e)
 
     if errors:
         print(f"warning: {errors}/{len(files)} file pairs failed to evaluate")
