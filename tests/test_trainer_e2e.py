@@ -129,6 +129,11 @@ def test_evaluate_cli(wav_dir, tmp_path):
     assert "spec_diff" in scores
     assert scores["spec_diff"] < 1e-5
 
+    # The parallel path (spawn pool, forced-CPU workers) must agree.
+    par = eval_main([str(wav_dir), str(wav_dir), "--sr", "8000", "--is-instrumental", "--workers", "2"])
+    assert par["spec_diff"] < 1e-5
+    assert abs(par["si_sdr"] - scores["si_sdr"]) < 1e-3
+
 
 def test_config_overrides():
     cfg = TrainConfig(task=build_task_config("hifigan"))
