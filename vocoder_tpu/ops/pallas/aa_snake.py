@@ -25,14 +25,23 @@ v2 over the round-1 kernel (which lost to the XLA polyphase, BENCH.md):
     from the unpadded input and re-aligns with one dynamic sublane roll; the
     wrapped garbage lands exactly on samples outside [0, T), which only reach
     the EDGE outputs recomputed unfused and spliced by the wrapper.
-  * Trainable: jax.custom_vjp whose backward is the (XLA) polyphase VJP, so
-    the kernel can be the default in the training step as well.
+  * Trainable: jax.custom_vjp whose backward is the (XLA) polyphase VJP.
 
 Sequence-edge semantics: the unfused pipeline edge-replicates BOTH x (before
 up) and y (before down); the outer 5 output samples differ from the pure
 interior formula and are recomputed with the unfused ops and spliced —
 matching the alias_free_torch oracle end to end
 (tests/test_pallas_aa_snake.py).
+
+STATUS: kept as the kernel-programming reference backend
+(bigvgan.AA_BACKEND="pallas"), not the default.  The kernel beat every
+UNFOLDED XLA form (422 vs 517 ms BigVGAN b16 inference), but it lane-folds
+only inside the op — between ops the activations return to the C<128-minor
+layout that XLA pads to the 128-lane tile, and the whole-pipeline folded
+layout (models/bigvgan.py TAIL_FOLD + ops/antialias.aa_snake_poly4_folded)
+removes that padding everywhere: 236 ms inference, and faster backward in
+training (the kernel call also blocks XLA's fusion with the surrounding conv
+gradients: 598 vs 480 ms/step).  See BENCH.md.
 """
 
 from __future__ import annotations
