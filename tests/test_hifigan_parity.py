@@ -97,3 +97,25 @@ def test_hifigan_init_runs_and_shapes():
     out = hifigan.apply(params, mel, cfg)
     assert out.shape == (1, 1, 8 * SMALL["hop_length"])
     assert nn.param_count(params) > 0
+
+
+def test_masked_variable_length_batching_exact():
+    """frame_lengths batching: row i of a right-zero-padded batch equals the
+    unbatched forward of item i, bit for bit, with a zero tail."""
+    import jax
+    import jax.numpy as jnp
+
+    from vocoder_tpu.models import hifigan
+
+    cfg = hifigan.HiFiGANConfig(hop_length=512, num_mels=8, upsample_initial_channel=64)
+    p = hifigan.init(jax.random.key(0), cfg)
+    f1, f2 = 11, 16
+    m1 = jax.random.normal(jax.random.key(1), (1, 8, f1))
+    m2 = jax.random.normal(jax.random.key(2), (1, 8, f2))
+    y1 = hifigan.apply(p, m1, cfg)
+    y2 = hifigan.apply(p, m2, cfg)
+    batch = jnp.concatenate([jnp.pad(m1, ((0, 0), (0, 0), (0, f2 - f1))), m2])
+    yb = hifigan.apply(p, batch, cfg, frame_lengths=jnp.asarray([f1, f2]))
+    np.testing.assert_array_equal(np.asarray(yb[0:1, :, : f1 * 512]), np.asarray(y1))
+    np.testing.assert_array_equal(np.asarray(yb[1:2]), np.asarray(y2))
+    assert float(jnp.max(jnp.abs(yb[0, :, f1 * 512 :]))) == 0.0

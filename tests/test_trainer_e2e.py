@@ -117,6 +117,23 @@ def test_infer_cli_roundtrip(wav_dir, tmp_path):
         assert audio.shape[-1] > 0
         stereo_out, _ = read_wav(out_dir / "stereo.wav")
         assert stereo_out.shape[0] == 2
+
+        # --batch N (exact masked batching) must reproduce the per-file
+        # outputs bit for bit, including the shorter stereo file.
+        out_b = tmp_path / "out_batched"
+        infer_cli.main(
+            [
+                "--model", "hifigan",
+                "--ckpt", str(workdir / "checkpoints"),
+                "--input", str(wav_dir),
+                "--output", str(out_b),
+                "--batch", "3",
+            ]
+        )
+        for f in outs:
+            a, _ = read_wav(f)
+            b, _ = read_wav(out_b / f.name)
+            np.testing.assert_array_equal(a, b)
     finally:
         infer_cli.build_task_config = orig
 

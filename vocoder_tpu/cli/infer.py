@@ -57,6 +57,57 @@ def load_generator_params(ckpt_path: str, task_cfg, fold: bool = True):
     return params
 
 
+def _batched_audio_synthesis(files, args, task, featurize, synth_masked, params, out_root, in_root):
+    """Length-sorted exact batched synthesis (hifigan frame_lengths masking).
+
+    Files are decoded and featurised on the host, sorted by frame count,
+    grouped `--batch` at a time, zero-padded to the group's 64-frame bucket
+    (bounded shape count -> bounded compiles), and synthesised in one device
+    call per group; per-layer masking makes every row equal its unbatched
+    forward.  Multi-channel files contribute one batch item per channel.
+    """
+    items = []  # (file_index, channel, mel (num_mels, F))
+    metas = {}  # file_index -> (path, n_channels, frames, true_samples, outputs)
+    for fi, f in enumerate(files):
+        audio, sr = read_audio(f)
+        audio = resample(audio, sr, task.sampling_rate)
+        if args.pitch_shift:
+            ratio = 2 ** (args.pitch_shift / 12)
+            step = round(task.sampling_rate * ratio)
+            audio = resample(audio, step - step % 100, task.sampling_rate)
+        t = audio.shape[-1]
+        pad = (-t) % task.hop_length
+        audio = np.pad(audio, ((0, 0), (0, pad)))
+        mel = np.asarray(featurize(jnp.asarray(audio)))  # (C, num_mels, F)
+        metas[fi] = (f, mel.shape[0], mel.shape[2], audio.shape[-1], {})
+        for c in range(mel.shape[0]):
+            items.append((fi, c, mel[c]))
+
+    items.sort(key=lambda it: it[2].shape[1])
+    start = time.time()
+    total_s = 0.0
+    for g0 in range(0, len(items), args.batch):
+        group = items[g0 : g0 + args.batch]
+        fmax = -(-max(it[2].shape[1] for it in group) // 64) * 64
+        mel_b = np.zeros((len(group), task.num_mels, fmax), np.float32)
+        lens = np.zeros(len(group), np.int32)
+        for j, (_, _, m) in enumerate(group):
+            mel_b[j, :, : m.shape[1]] = m
+            lens[j] = m.shape[1]
+        out = np.asarray(synth_masked(params, jnp.asarray(mel_b), jnp.asarray(lens)))
+        for j, (fi, c, m) in enumerate(group):
+            metas[fi][4][c] = out[j, 0, : m.shape[1] * task.hop_length]
+            total_s += m.shape[1] * task.hop_length / task.sampling_rate
+
+    log(f"batched synthesis: {len(items)} items, {total_s:.1f}s audio in {time.time() - start:.2f}s")
+    for f, n_ch, _frames, true_t, outs in metas.values():
+        fake = np.stack([outs[c] for c in range(n_ch)])[:, :true_t]
+        out_path = out_root / f.relative_to(in_root).with_suffix(".wav")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(out_path, fake, task.sampling_rate)
+        log(f"saved {out_path}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Vocoder inference")
     ap.add_argument("--model", default="hifigan")
@@ -71,6 +122,13 @@ def main(argv=None):
         default=2048,
         help="mel frames per synthesis chunk for long files (0 = single pass); "
         "keeps XLA shapes static and HBM bounded (SURVEY.md §5.7)",
+    )
+    ap.add_argument(
+        "--batch",
+        type=int,
+        default=1,
+        help="synthesise N files per device call (length-sorted, padded to a "
+        "64-frame bucket, EXACT via per-layer length masking; HiFiGAN only)",
     )
     args = ap.parse_args(argv)
 
@@ -88,6 +146,10 @@ def main(argv=None):
         return _synthesize(params, mel, template)
 
     @jax.jit
+    def _synthesize_masked(p, mel, frame_lengths):
+        return gen.apply(p, mel, task.generator, frame_lengths=frame_lengths)
+
+    @jax.jit
     def featurize(audio):  # (B, T) -> (B, n_mels, frames)
         return gan.input_transform(task, audio)
 
@@ -95,6 +157,16 @@ def main(argv=None):
     files = [input_path] if input_path.is_file() else sorted(input_path.rglob("*"))
     out_root = Path(args.output)
     in_root = input_path.parent if input_path.is_file() else input_path
+
+    batchable = args.batch > 1 and task.generator_name == "hifigan" and not gan.needs_template(task)
+    if args.batch > 1 and not batchable:
+        log(f"--batch: falling back to per-file synthesis for {task.generator_name}")
+    if batchable:
+        audio_files = [f for f in files if f.suffix.lower() in AUDIO_EXTENSIONS]
+        _batched_audio_synthesis(
+            audio_files, args, task, featurize, _synthesize_masked, params, out_root, in_root
+        )
+        files = [f for f in files if f.suffix.lower() not in AUDIO_EXTENSIONS]
 
     for f in files:
         suffix = f.suffix.lower()

@@ -80,7 +80,18 @@ def _fold_active(training: bool) -> bool:
     return jax.default_backend() == "tpu" and training
 
 
-def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, fold: int = 1) -> jnp.ndarray:
+def _len_mask(x: jnp.ndarray, lens: jnp.ndarray | None) -> jnp.ndarray:
+    """Zero positions >= per-item length.  Masking after EVERY conv makes a
+    right-zero-padded batch compute exactly what each item computes alone
+    (each layer's implicit zero padding is re-established), which is what
+    lets the infer CLI batch variable-length files without tail drift."""
+    if lens is None:
+        return x
+    m = jnp.arange(x.shape[1])[None, :] < lens[:, None]
+    return x * m[..., None].astype(x.dtype)
+
+
+def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, fold: int = 1, lens=None) -> jnp.ndarray:
     t, c = x.shape[1], x.shape[2]
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
         pad1 = nn.get_padding(kernel_size, d)
@@ -90,18 +101,18 @@ def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple,
             xt = nn.conv1d_folded_io(c1, xt, padding=pad1, dilation=d, fold=fold)
         else:
             xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
-        xt = nn.silu(xt)
+        xt = nn.silu(_len_mask(xt, lens))
         if fold > 1:
             xt = nn.conv1d_folded_io(c2, xt, padding=pad2, fold=fold)
         else:
             xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
-        x = x + xt
+        x = x + _len_mask(xt, lens)
     return x
 
 
-def _parallel_block_apply(p: dict, x: jnp.ndarray, cfg: HiFiGANConfig, fold: int = 1) -> jnp.ndarray:
+def _parallel_block_apply(p: dict, x: jnp.ndarray, cfg: HiFiGANConfig, fold: int = 1, lens=None) -> jnp.ndarray:
     outs = [
-        _resblock_apply(block, x, k, d, fold)
+        _resblock_apply(block, x, k, d, fold, lens)
         for block, k, d in zip(p["blocks"], cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
     ]
     return sum(outs) / len(outs)
@@ -155,10 +166,19 @@ def apply(
     *,
     training: bool = False,
     rng=None,
+    frame_lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """mel (B, num_mels, T) [+ template (B, 1, T*hop)] -> audio (B, 1, T*hop)."""
+    """mel (B, num_mels, T) [+ template (B, 1, T*hop)] -> audio (B, 1, T*hop).
+
+    frame_lengths (B,) enables EXACT variable-length batching: items are
+    right-zero-padded to a common frame count and every conv output is
+    re-masked (see _len_mask), so row i of the batched output equals the
+    unbatched forward of item i over its first frame_lengths[i] frames.
+    """
     x = jnp.transpose(mel, (0, 2, 1))  # -> (B, T, C)
     x = nn.conv1d(params["conv_pre"], x, padding=nn.get_padding(cfg.pre_conv_kernel_size))
+    lens = frame_lengths
+    x = _len_mask(x, lens)
 
     if cfg.use_template:
         template_t = jnp.transpose(template, (0, 2, 1))  # (B, T_audio, 1)
@@ -168,7 +188,9 @@ def apply(
         block_fn = jax.checkpoint(_parallel_block_apply, static_argnums=(2, 3))
 
     b = x.shape[0]
-    active = _fold_active(training)
+    # Masked variable-length batches stay unfolded: the fold packs time into
+    # lanes, which would put a mask boundary inside a lane block.
+    active = _fold_active(training) and lens is None
     r = 1  # current time-fold factor of x: x is (B, T/r, r*C)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
@@ -176,6 +198,9 @@ def apply(
         x, r, t_cur = nn.folded_stack_upsample(
             params["ups"][i], x, fold=r, stride=u, kernel=k, c_out=c_out, active=active
         )
+        if lens is not None:
+            lens = lens * u
+            x = _len_mask(x, lens)
         if cfg.use_template:
             nc = params["noise_convs"][i]
             if i + 1 < len(cfg.upsample_rates):
@@ -184,7 +209,8 @@ def apply(
             else:
                 noise = nn.conv1d(nc, template_t)
             x = x + (noise.reshape(b, t_cur // r, r * c_out) if r > 1 else noise)
-        x = block_fn(params["resblocks"][i], x, cfg, r)
+            x = _len_mask(x, lens)
+        x = block_fn(params["resblocks"][i], x, cfg, r, lens)
 
     x = nn.silu(x)
     if r > 1:
@@ -192,7 +218,7 @@ def apply(
         x = x.reshape(b, -1, 1)
     else:
         x = nn.conv1d(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size))
-    x = jnp.tanh(x)
+    x = _len_mask(jnp.tanh(x), lens)
     return jnp.transpose(x, (0, 2, 1))  # (B, 1, T*hop)
 
 
