@@ -132,3 +132,27 @@ def test_choose_fold_prefers_wide_kernels():
     assert nn._choose_fold_impl(7, 1, 3, 256, 1024) == 1
     # Disabled by default (measured slower on v5e XLA conv lowering).
     assert nn.choose_fold(7, 1, 3, 16, 1024) == 1
+
+
+def test_tail_fold_exits_on_odd_kernel_stride_diff():
+    """A stage whose (kernel - stride) is odd cannot stay folded; the stack
+    must exit the folded domain for it and re-enter after, matching the
+    unfolded path (including the reference's odd-kernel length creep)."""
+    from vocoder_tpu.models import hifigan
+
+    cfg = hifigan.HiFiGANConfig(
+        hop_length=32, upsample_rates=(8, 2, 2), upsample_kernel_sizes=(16, 5, 4),
+        num_mels=8, upsample_initial_channel=64,
+    )
+    p = hifigan.init(jax.random.key(0), cfg)
+    mel = jax.random.normal(jax.random.key(1), (2, 8, 16))
+    old = hifigan.TAIL_FOLD
+    try:
+        hifigan.TAIL_FOLD = "off"
+        want = hifigan.apply(p, mel, cfg)
+        hifigan.TAIL_FOLD = "on"
+        got = hifigan.apply(p, mel, cfg)
+    finally:
+        hifigan.TAIL_FOLD = old
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
