@@ -135,3 +135,27 @@ def test_vocos_huge_shapes_and_param_count():
         lambda p, m: vocos.apply(p, m, cfg), params_shape, jax.ShapeDtypeStruct((2, 128, 32), jnp.float32)
     )
     assert out.shape == (2, 1, 32 * 512)
+
+
+def test_vocos_masked_variable_length_batching_exact():
+    """frame_lengths batching through ConvNeXt + the per-item iSTFT envelope:
+    each row of a right-zero-padded batch equals its unbatched forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from vocoder_tpu.models import convnext, vocos
+
+    cfg = vocos.VocosConfig(
+        backbone=convnext.ConvNeXtConfig(input_channels=8, depths=(1, 1), dims=(16, 32), drop_path_rate=0.0),
+        head=vocos.ISTFTHeadConfig(dim=32, n_fft=64, hop_length=16, win_length=64),
+    )
+    p = vocos.init(jax.random.key(0), cfg)
+    f1, f2 = 11, 16
+    m1 = jax.random.normal(jax.random.key(1), (1, 8, f1))
+    m2 = jax.random.normal(jax.random.key(2), (1, 8, f2))
+    y1 = vocos.apply(p, m1, cfg)
+    y2 = vocos.apply(p, m2, cfg)
+    batch = jnp.concatenate([jnp.pad(m1, ((0, 0), (0, 0), (0, f2 - f1))), m2])
+    yb = vocos.apply(p, batch, cfg, frame_lengths=jnp.asarray([f1, f2]))
+    np.testing.assert_array_equal(np.asarray(yb[0:1, :, : f1 * 16]), np.asarray(y1))
+    np.testing.assert_array_equal(np.asarray(yb[1:2]), np.asarray(y2))

@@ -144,9 +144,22 @@ def _drop_rates(cfg: ConvNeXtConfig) -> list[list[float]]:
     return out
 
 
-def apply(params: dict, x: jnp.ndarray, cfg: ConvNeXtConfig, *, training: bool = False, rng=None) -> jnp.ndarray:
-    """x: (B, T, C_in) channels-last -> (B, T, dims[-1])."""
+def apply(params: dict, x: jnp.ndarray, cfg: ConvNeXtConfig, *, training: bool = False, rng=None, frame_lengths=None) -> jnp.ndarray:
+    """x: (B, T, C_in) channels-last -> (B, T, dims[-1]).
+
+    frame_lengths (B,) masks a right-zero-padded variable-length batch so
+    each row computes what it would alone: only the depthwise convs (and the
+    stem conv) mix time, so re-masking after the stem and after every block's
+    residual re-establishes each item's implicit zero padding (LN/pointwise
+    layers are per-position; their pad-row garbage never crosses a mask).
+    """
     from vocoder_tpu.parallel import constrain
+
+    def mask(v):
+        if frame_lengths is None:
+            return v
+        m = jnp.arange(v.shape[1])[None, :] < frame_lengths[:, None]
+        return v * m[..., None].astype(v.dtype)
 
     x = constrain(x, "data")
     rates = _drop_rates(cfg)
@@ -160,9 +173,12 @@ def apply(params: dict, x: jnp.ndarray, cfg: ConvNeXtConfig, *, training: bool =
         else:
             x = nn.layer_norm(down["norm"], x)
             x = nn.conv1d(down["conv"], x)
+        # One mask per stage entry (LN/1x1 put bias garbage in pad rows) so
+        # the first block's depthwise conv sees clean zeros.
+        x = mask(x)
         for j, block in enumerate(params["stages"][i]):
             r = next(rngs) if (training and cfg.drop_path_rate > 0.0) else None
-            x = _block_apply(block, x, cfg, rates[i][j], training, r)
+            x = mask(_block_apply(block, x, cfg, rates[i][j], training, r))
     return nn.layer_norm(params["norm"], x)
 
 

@@ -39,7 +39,7 @@ def istft_head_init(key, cfg: ISTFTHeadConfig) -> dict:
     return {"out": nn.conv1d_init(key, cfg.dim, cfg.n_fft * 2, 1)}
 
 
-def istft_head_apply(params: dict, x: jnp.ndarray, cfg: ISTFTHeadConfig, template=None) -> jnp.ndarray:
+def istft_head_apply(params: dict, x: jnp.ndarray, cfg: ISTFTHeadConfig, template=None, frame_lengths=None) -> jnp.ndarray:
     """x: (B, T, dim) channels-last -> audio (B, T*hop)."""
     if cfg.padding != "same":
         raise NotImplementedError("only vocos 'same' padding is supported (matches shipped configs)")
@@ -56,13 +56,15 @@ def istft_head_apply(params: dict, x: jnp.ndarray, cfg: ISTFTHeadConfig, templat
     phase = phase[..., :bins]
     re = mag * jnp.cos(phase)
     im = mag * jnp.sin(phase)
-    # istft expects (B, bins, frames)
+    # istft expects (B, bins, frames); frame_lengths makes padded frames
+    # (whose exp(0)=1 magnitudes are garbage) vanish from the overlap-add.
     return istft_same(
         jnp.transpose(re, (0, 2, 1)),
         jnp.transpose(im, (0, 2, 1)),
         n_fft=cfg.n_fft,
         hop_length=cfg.hop_length,
         win_length=cfg.win_length,
+        frame_lengths=frame_lengths,
     )
 
 
@@ -122,11 +124,17 @@ def apply(
     *,
     training: bool = False,
     rng=None,
+    frame_lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """mel (B, num_mels, T) -> audio (B, 1, T*hop); UnifyGenerator.forward parity."""
+    """mel (B, num_mels, T) -> audio (B, 1, T*hop); UnifyGenerator.forward parity.
+
+    frame_lengths (B,) enables exact variable-length batching (see
+    models/hifigan.py): each row of a right-zero-padded batch equals its
+    unbatched forward over the first frame_lengths[i] * hop samples.
+    """
     x = jnp.transpose(mel, (0, 2, 1))
-    x = convnext.apply(params["backbone"], x, cfg.backbone, training=training, rng=rng)
-    audio = istft_head_apply(params["head"], x, cfg.head, template=template)
+    x = convnext.apply(params["backbone"], x, cfg.backbone, training=training, rng=rng, frame_lengths=frame_lengths)
+    audio = istft_head_apply(params["head"], x, cfg.head, template=template, frame_lengths=frame_lengths)
     return audio[:, None, :]
 
 

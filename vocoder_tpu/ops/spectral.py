@@ -335,11 +335,17 @@ def istft_same(
     hop_length: int,
     win_length: int,
     precision=lax.Precision.HIGHEST,
+    frame_lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Vocos-style "same"-padding iSTFT.
 
     Args:
         re, im: (B, bins, frames) real/imag STFT coefficients.
+        frame_lengths: optional (B,) true frame counts for variable-length
+            batches: padded frames are zeroed and the window-square envelope
+            is accumulated per item over its true frames only, so row i
+            equals the unbatched iSTFT of its first frame_lengths[i] frames
+            (callers trim to frame_lengths[i] * hop samples).
     Returns:
         (B, frames * hop) waveform (when win-hop is even, as in all configs).
 
@@ -356,9 +362,13 @@ def istft_same(
     frames = jnp.einsum("bkf,kn->bfn", coeffs, basis, precision=precision)
     win = jnp.asarray(hann_window(win_length)).astype(frames.dtype)
     frames = frames * win[None, None, :]
-    y = overlap_add(frames, hop_length)
 
     win_sq = jnp.broadcast_to((win * win)[None, None, :], (1, f, n_fft))
+    if frame_lengths is not None:
+        fmask = (jnp.arange(f)[None, :] < frame_lengths[:, None]).astype(frames.dtype)
+        frames = frames * fmask[..., None]
+        win_sq = win_sq * fmask[..., None]
+    y = overlap_add(frames, hop_length)
     envelope = overlap_add(win_sq, hop_length)
     y = y / jnp.maximum(envelope, 1e-11)
 
