@@ -94,6 +94,9 @@ def test_infer_cli_roundtrip(wav_dir, tmp_path):
     # Stereo input runs channels as a batch (test.py:56-60 semantics).
     stereo = np.stack([np.sin(np.arange(4000) / 20), np.cos(np.arange(4000) / 30)]).astype(np.float32) * 0.4
     write_wav(wav_dir / "stereo.wav", stereo, 8000)
+    # Precomputed-mel input (synthesised by both the per-file and batch paths).
+    rng = np.random.default_rng(3)
+    np.save(wav_dir / "pre.npy", rng.standard_normal((1, tiny.num_mels, 9)).astype(np.float32))
     try:
         out_dir = tmp_path / "out"
         infer_cli.main(
@@ -109,7 +112,7 @@ def test_infer_cli_roundtrip(wav_dir, tmp_path):
             ]
         )
         outs = sorted(out_dir.glob("*.wav"))
-        assert len(outs) == 5
+        assert len(outs) == 6
         from vocoder_tpu.data.audio_io import read_wav
 
         audio, sr = read_wav(outs[0])

@@ -69,17 +69,33 @@ def _batched_audio_synthesis(files, args, task, featurize, synth_masked, params,
     items = []  # (file_index, channel, mel (num_mels, F))
     metas = {}  # file_index -> (path, n_channels, frames, true_samples, outputs)
     for fi, f in enumerate(files):
-        audio, sr = read_audio(f)
-        audio = resample(audio, sr, task.sampling_rate)
-        if args.pitch_shift:
-            ratio = 2 ** (args.pitch_shift / 12)
-            step = round(task.sampling_rate * ratio)
-            audio = resample(audio, step - step % 100, task.sampling_rate)
-        t = audio.shape[-1]
-        pad = (-t) % task.hop_length
-        audio = np.pad(audio, ((0, 0), (0, pad)))
-        mel = np.asarray(featurize(jnp.asarray(audio)))  # (C, num_mels, F)
-        metas[fi] = (f, mel.shape[0], mel.shape[2], audio.shape[-1], {})
+        suffix = f.suffix.lower()
+        if suffix in (".npy", ".pt", ".pth"):
+            if suffix == ".npy":
+                mel = np.load(f)
+            else:
+                import torch
+
+                mel = torch.load(f, map_location="cpu").float().numpy()
+            if mel.ndim == 2:
+                mel = mel[None]
+            if mel.shape[-1] == task.num_mels:  # auto-transpose (test.py:82-84)
+                mel = mel.transpose(0, 2, 1)
+            mel = np.asarray(mel, np.float32)
+            true_t = mel.shape[2] * task.hop_length
+        else:
+            audio, sr = read_audio(f)
+            audio = resample(audio, sr, task.sampling_rate)
+            if args.pitch_shift:
+                ratio = 2 ** (args.pitch_shift / 12)
+                step = round(task.sampling_rate * ratio)
+                audio = resample(audio, step - step % 100, task.sampling_rate)
+            t = audio.shape[-1]
+            pad = (-t) % task.hop_length
+            audio = np.pad(audio, ((0, 0), (0, pad)))
+            mel = np.asarray(featurize(jnp.asarray(audio)))  # (C, num_mels, F)
+            true_t = audio.shape[-1]
+        metas[fi] = (f, mel.shape[0], mel.shape[2], true_t, {})
         for c in range(mel.shape[0]):
             items.append((fi, c, mel[c]))
 
@@ -162,11 +178,12 @@ def main(argv=None):
     if args.batch > 1 and not batchable:
         log(f"--batch: falling back to per-file synthesis for {task.generator_name}")
     if batchable:
-        audio_files = [f for f in files if f.suffix.lower() in AUDIO_EXTENSIONS]
+        batch_suffixes = AUDIO_EXTENSIONS | {".npy", ".pt", ".pth"}
+        batch_files = [f for f in files if f.suffix.lower() in batch_suffixes]
         _batched_audio_synthesis(
-            audio_files, args, task, featurize, _synthesize_masked, params, out_root, in_root
+            batch_files, args, task, featurize, _synthesize_masked, params, out_root, in_root
         )
-        files = [f for f in files if f.suffix.lower() not in AUDIO_EXTENSIONS]
+        files = [f for f in files if f.suffix.lower() not in batch_suffixes]
 
     for f in files:
         suffix = f.suffix.lower()
