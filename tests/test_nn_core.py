@@ -68,3 +68,28 @@ def test_leaky_relu_and_gelu_match_torch():
         rtol=1e-6,
         atol=1e-7,
     )
+
+
+def test_remat_checkpointing_flag_trains():
+    """cfg.checkpointing=True (jax.remat over resblocks, drift D4 made a real
+    flag) must trace through grad for both upsampling generators, with the
+    folded/masked call signatures."""
+    import jax
+    import jax.numpy as jnp
+
+    from vocoder_tpu.models import bigvgan, hifigan
+
+    mel = jax.random.normal(jax.random.key(1), (2, 8, 16))
+
+    cfg = hifigan.HiFiGANConfig(hop_length=512, num_mels=8, upsample_initial_channel=64, checkpointing=True)
+    p = hifigan.init(jax.random.key(0), cfg)
+    g = jax.grad(lambda pp: jnp.sum(jnp.square(hifigan.apply(pp, mel, cfg, training=True))))(p)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
+
+    bcfg = bigvgan.BigVGANConfig(
+        hop_length=512, num_mels=8, upsample_initial_channel=64, checkpointing=True,
+        upsample_rates=(8, 8, 2, 2, 2), upsample_kernel_sizes=(16, 16, 8, 2, 2),
+    )
+    bp = bigvgan.init(jax.random.key(0), bcfg)
+    bg = jax.grad(lambda pp: jnp.sum(jnp.square(bigvgan.apply(pp, mel, bcfg, training=True))))(bp)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(bg))
