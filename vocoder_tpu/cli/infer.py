@@ -179,11 +179,28 @@ def main(argv=None):
         log(f"--batch: falling back to per-file synthesis for {task.generator_name}")
     if batchable:
         batch_suffixes = AUDIO_EXTENSIONS | {".npy", ".pt", ".pth"}
-        batch_files = [f for f in files if f.suffix.lower() in batch_suffixes]
+
+        def _short_enough(f):
+            # Files beyond the chunk budget keep the bounded-memory streaming
+            # path; batching is for the many-short-utterances regime.
+            if not args.chunk_frames or f.suffix.lower() not in AUDIO_EXTENSIONS:
+                return True
+            try:
+                import wave
+
+                if f.suffix.lower() == ".wav":
+                    with wave.open(str(f), "rb") as w:
+                        frames = w.getnframes() * task.sampling_rate // max(w.getframerate(), 1)
+                    return frames // task.hop_length <= args.chunk_frames
+            except Exception:
+                pass
+            return True
+
+        batch_files = [f for f in files if f.suffix.lower() in batch_suffixes and _short_enough(f)]
         _batched_audio_synthesis(
             batch_files, args, task, featurize, _synthesize_masked, params, out_root, in_root
         )
-        files = [f for f in files if f.suffix.lower() not in batch_suffixes]
+        files = [f for f in files if f not in set(batch_files)]
 
     for f in files:
         suffix = f.suffix.lower()
