@@ -135,3 +135,28 @@ def test_polyphase_aa_snake_matches_composition():
         got = np.asarray(aa_snake_polyphase(x, alpha, beta, logscale))
         assert got.shape == want.shape, (t, c)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5, err_msg=f"{t},{c},{logscale}")
+
+
+def test_bigvgan_masked_variable_length_batching_exact():
+    """frame_lengths batching: per-layer masks plus the per-item dynamic
+    edge splice in aa_snake_poly4_masked make each row of a right-zero-padded
+    batch equal its unbatched forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from vocoder_tpu.models import bigvgan
+
+    cfg = bigvgan.BigVGANConfig(
+        hop_length=512, num_mels=8, upsample_initial_channel=64,
+        upsample_rates=(8, 8, 2, 2, 2), upsample_kernel_sizes=(16, 16, 8, 2, 2),
+    )
+    p = bigvgan.init(jax.random.key(0), cfg)
+    f1, f2 = 10, 14
+    m1 = jax.random.normal(jax.random.key(1), (1, 8, f1))
+    m2 = jax.random.normal(jax.random.key(2), (1, 8, f2))
+    y1 = bigvgan.apply(p, m1, cfg)
+    y2 = bigvgan.apply(p, m2, cfg)
+    batch = jnp.concatenate([jnp.pad(m1, ((0, 0), (0, 0), (0, f2 - f1))), m2])
+    yb = bigvgan.apply(p, batch, cfg, frame_lengths=jnp.asarray([f1, f2]))
+    np.testing.assert_allclose(np.asarray(yb[0:1, :, : f1 * 512]), np.asarray(y1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yb[1:2]), np.asarray(y2), atol=1e-6)

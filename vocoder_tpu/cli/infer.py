@@ -144,7 +144,7 @@ def main(argv=None):
         type=int,
         default=1,
         help="synthesise N files per device call (length-sorted, padded to a "
-        "64-frame bucket, EXACT via per-layer length masking; hifigan/vocos)",
+        "64-frame bucket, EXACT via per-layer length masking; hifigan/vocos/bigvgan)",
     )
     args = ap.parse_args(argv)
 
@@ -174,7 +174,7 @@ def main(argv=None):
     out_root = Path(args.output)
     in_root = input_path.parent if input_path.is_file() else input_path
 
-    batchable = args.batch > 1 and task.generator_name in ("hifigan", "vocos") and not gan.needs_template(task)
+    batchable = args.batch > 1 and task.generator_name in ("hifigan", "vocos", "bigvgan") and not gan.needs_template(task)
     if args.batch > 1 and not batchable:
         log(f"--batch: falling back to per-file synthesis for {task.generator_name}")
     if batchable:

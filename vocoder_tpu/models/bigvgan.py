@@ -98,10 +98,14 @@ def _fold_active() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool, training: bool = False, fold: int = 1) -> jnp.ndarray:
+def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool, training: bool = False, fold: int = 1, lens=None) -> jnp.ndarray:
     """Anti-aliased activation: 2x upsample -> snake -> 2x downsample."""
     alpha = p["alpha"]
     beta = p.get("beta", alpha)
+    if lens is not None:
+        from vocoder_tpu.ops.antialias import aa_snake_poly4_masked
+
+        return aa_snake_poly4_masked(x, alpha, beta, logscale, lens)
     if fold > 1:
         from vocoder_tpu.ops.antialias import aa_snake_poly4_folded
 
@@ -138,24 +142,31 @@ def _amp_init(key, channels: int, kernel_size: int, dilations: tuple, cfg: BigVG
     return {"convs1": convs1, "convs2": convs2, "activations": acts}
 
 
-def _amp_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, cfg: BigVGANConfig, training: bool = False, fold: int = 1) -> jnp.ndarray:
+def _len_mask(x: jnp.ndarray, lens) -> jnp.ndarray:
+    if lens is None:
+        return x
+    m = jnp.arange(x.shape[1])[None, :] < lens[:, None]
+    return x * m[..., None].astype(x.dtype)
+
+
+def _amp_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, cfg: BigVGANConfig, training: bool = False, fold: int = 1, lens=None) -> jnp.ndarray:
     acts1 = p["activations"][::2]
     acts2 = p["activations"][1::2]
     t, c = x.shape[1], x.shape[2]
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2, dilations):
         pad1 = nn.get_padding(kernel_size, d)
         pad2 = nn.get_padding(kernel_size)
-        xt = _aa_snake(a1, x, cfg.snake_logscale, training, fold)
+        xt = _aa_snake(a1, x, cfg.snake_logscale, training, fold, lens)
         if fold > 1:
             xt = nn.conv1d_folded_io(c1, xt, padding=pad1, dilation=d, fold=fold)
         else:
             xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
-        xt = _aa_snake(a2, xt, cfg.snake_logscale, training, fold)
+        xt = _aa_snake(a2, _len_mask(xt, lens), cfg.snake_logscale, training, fold, lens)
         if fold > 1:
             xt = nn.conv1d_folded_io(c2, xt, padding=pad2, fold=fold)
         else:
             xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
-        x = xt + x
+        x = _len_mask(xt, lens) + x
     return x
 
 
@@ -203,11 +214,19 @@ def apply(
     *,
     training: bool = False,
     rng=None,
+    frame_lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """mel (B, num_mels, T) -> audio (B, 1, T*hop)."""
+    """mel (B, num_mels, T) -> audio (B, 1, T*hop).
+
+    frame_lengths (B,) enables exact variable-length batching (see
+    models/hifigan.py); the anti-aliased activations additionally re-splice
+    each item's edge-replicated boundary (aa_snake_poly4_masked).
+    """
     n_k = len(cfg.resblock_kernel_sizes)
     x = jnp.transpose(mel, (0, 2, 1))
     x = nn.conv1d(params["conv_pre"], x, padding=nn.get_padding(cfg.pre_conv_kernel_size))
+    lens = frame_lengths
+    x = _len_mask(x, lens)
 
     if cfg.use_template:
         template_t = jnp.transpose(template, (0, 2, 1))
@@ -217,13 +236,16 @@ def apply(
         amp = jax.checkpoint(_amp_apply, static_argnums=(2, 3, 4, 5, 6))
 
     b = x.shape[0]
-    active = _fold_active()
+    active = _fold_active() and lens is None
     r = 1  # current time-fold factor of x: x is (B, T/r, r*C)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
         x, r, t_cur = nn.folded_stack_upsample(
             params["ups"][i], x, fold=r, stride=u, kernel=k, c_out=c_out, active=active
         )
+        if lens is not None:
+            lens = lens * u
+            x = _len_mask(x, lens)
         if cfg.use_template:
             nc = params["noise_convs"][i]
             if i + 1 < len(cfg.upsample_rates):
@@ -232,19 +254,20 @@ def apply(
             else:
                 noise = nn.conv1d(nc, template_t)
             x = x + (noise.reshape(b, t_cur // r, r * c_out) if r > 1 else noise)
+            x = _len_mask(x, lens)
         outs = [
-            amp(params["resblocks"][i * n_k + j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], cfg, training, r)
+            amp(params["resblocks"][i * n_k + j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], cfg, training, r, lens)
             for j in range(n_k)
         ]
         x = sum(outs) / n_k
 
-    x = _aa_snake(params["post_act"], x, True, training, r)
+    x = _aa_snake(params["post_act"], x, True, training, r, lens)
     if r > 1:
         x = nn.conv1d_folded_io(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size), fold=r)
         x = x.reshape(b, -1, 1)
     else:
         x = nn.conv1d(params["conv_post"], x, padding=nn.get_padding(cfg.post_conv_kernel_size))
-    x = jnp.tanh(x)
+    x = _len_mask(jnp.tanh(x), lens)
     return jnp.transpose(x, (0, 2, 1))
 
 

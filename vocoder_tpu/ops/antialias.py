@@ -378,6 +378,53 @@ def aa_snake_poly4_folded(
     return z
 
 
+def aa_snake_poly4_masked(
+    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool, lengths: jnp.ndarray
+) -> jnp.ndarray:
+    """aa_snake_poly4 for a right-zero-padded variable-length batch.
+
+    Per item the unfused pipeline edge-replicates ITS OWN last sample —
+    interior to a padded array, where the batched interior formula sees zeros
+    instead.  The interior therefore runs with plain zero padding, and each
+    item's last EDGE samples are recomputed with the unfused composition on a
+    32-sample window ENDING AT ITS LENGTH (vmapped dynamic slice/update), so
+    row i equals aa_snake_poly4 of item i alone.  Requires lengths >= 32.
+    """
+    edge, window = 5, 32
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    t = x.shape[1]
+    f_e, f_o, g_o, g_e = polyphase_taps()
+    a2 = alpha[None, :].astype(jnp.float32)
+    b2 = beta[None, :].astype(jnp.float32)
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)[..., None]
+    x = x * mask
+
+    # Interior with ZERO padding (contaminates <= 5 samples per side, all
+    # inside the spliced edges).
+    xp = jnp.pad(x, ((0, 0), (5, 6), (0, 0)))
+    se = _snake_f32(2.0 * _dwconv(xp[:, : t + 10, :], tuple(f_e)).astype(jnp.float32), a2, b2).astype(x.dtype)
+    so = _snake_f32(2.0 * _dwconv(xp[:, : t + 10, :], tuple(f_o)).astype(jnp.float32), a2, b2).astype(x.dtype)
+    z = (_dwconv(se, tuple(g_o)) + _dwconv(so, tuple(g_e))) * mask
+
+    def unfused(v):
+        return downsample1d(_snake_f32(upsample1d(v, 2).astype(jnp.float32), a2, b2).astype(v.dtype), 2)
+
+    # Left edges: every item starts at array position 0 (static).
+    z = z.at[:, :edge].set(unfused(x[:, :window, :])[:, :edge])
+
+    # Right edges: per item, at its own length (dynamic).
+    def fix_right(zi, xi, li):
+        start = jnp.clip(li - window, 0, t - window)
+        win = jax.lax.dynamic_slice_in_dim(xi, start, window, axis=0)
+        rep = unfused(win[None])[0, -edge:]
+        return jax.lax.dynamic_update_slice_in_dim(zi, rep.astype(zi.dtype), li - edge, axis=0)
+
+    z = jax.vmap(fix_right)(z, x, lengths)
+    return z * mask
+
+
 def aa_snake_polyphase(
     x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool
 ) -> jnp.ndarray:
