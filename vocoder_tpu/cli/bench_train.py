@@ -13,7 +13,6 @@ backends block_until_ready alone under-reports).
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import time
 
@@ -32,7 +31,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from vocoder_tpu.config import build_task_config
     from vocoder_tpu.train import gan as gan_mod
@@ -40,7 +38,6 @@ def main(argv=None):
     cfg = build_task_config(model=args.model, resolution=args.resolution).replace(
         compute_dtype=args.compute_dtype, spectral_precision=args.spectral_precision
     )
-    tx = gan_mod.make_optimizer(cfg)
     t_samples = cfg.num_frames * cfg.hop_length
     state = gan_mod.create_train_state(jax.random.key(0), cfg)
     batch = {
@@ -48,26 +45,10 @@ def main(argv=None):
         "lengths": jnp.full((args.batch,), t_samples, jnp.int32),
     }
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def g_phase(state, b):
-        audio, lengths = b["audio"], b["lengths"]
-        mask = gan_mod.sequence_mask(lengths, audio.shape[2])
-        rng, step_rng = jax.random.split(state.rng)
-        (loss_g, (gm, ac, fc, ne)), grads = jax.value_and_grad(gan_mod._generator_loss, has_aux=True)(
-            state.gen_params, state.disc_params, audio, mask, cfg, step_rng, state.extra, None, None
-        )
-        up, og = tx.update(grads, state.opt_g, state.gen_params)
-        gp = optax.apply_updates(state.gen_params, up)
-        return state.replace(gen_params=gp, opt_g=og, rng=rng, extra=ne), gm, ac, fc
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def d_phase(state, ac, fc):
-        (loss_d, dm), grads = jax.value_and_grad(gan_mod._discriminator_loss_fn, has_aux=True)(
-            state.disc_params, ac, fc, cfg
-        )
-        up, od = tx.update(grads, state.opt_d, state.disc_params)
-        dp = optax.apply_updates(state.disc_params, up)
-        return state.replace(step=state.step + 1, disc_params=dp, opt_d=od), dm
+    # THE phases the trainer runs (gan.make_train_step_split), not a copy:
+    # grad-norm metrics, LR logging and family dispatch are all included.
+    step = gan_mod.make_train_step_split(cfg)
+    g_phase, d_phase = step.g_phase, step.d_phase
 
     def sync(state):
         float(jnp.sum(jax.tree.leaves(state.gen_params)[0]))

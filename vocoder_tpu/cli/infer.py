@@ -57,45 +57,64 @@ def load_generator_params(ckpt_path: str, task_cfg, fold: bool = True):
     return params
 
 
-def _batched_audio_synthesis(files, args, task, featurize, synth_masked, params, out_root, in_root):
-    """Length-sorted exact batched synthesis (hifigan frame_lengths masking).
+def _load_mel_item(f, args, task, featurize):
+    """Load one input file -> (mel (C, num_mels, F) float32, true_samples).
+
+    Shared by the per-file and batched paths so their preprocessing (npy/pt
+    auto-transpose, pitch shift, hop padding, featurise) cannot drift apart.
+    For audio inputs also returns the resampled audio (template builders need
+    it); None for precomputed mels.
+    """
+    suffix = f.suffix.lower()
+    if suffix in (".npy", ".pt", ".pth"):
+        if suffix == ".npy":
+            mel = np.load(f)
+        else:
+            import torch
+
+            mel = torch.load(f, map_location="cpu").float().numpy()
+        if mel.ndim == 2:
+            mel = mel[None]
+        if mel.shape[-1] == task.num_mels:  # auto-transpose (test.py:82-84)
+            mel = mel.transpose(0, 2, 1)
+        mel = np.asarray(mel, np.float32)
+        return mel, mel.shape[2] * task.hop_length, None
+    audio, sr = read_audio(f)
+    audio = resample(audio, sr, task.sampling_rate)
+    if args.pitch_shift:
+        ratio = 2 ** (args.pitch_shift / 12)
+        step = round(task.sampling_rate * ratio)
+        audio = resample(audio, step - step % 100, task.sampling_rate)
+    t = audio.shape[-1]
+    pad = (-t) % task.hop_length
+    audio = np.pad(audio, ((0, 0), (0, pad)))
+    mel = np.asarray(featurize(jnp.asarray(audio)))  # (C, num_mels, F)
+    return mel, audio.shape[-1], audio
+
+
+def _batched_audio_synthesis(files, args, task, featurize, synth_masked, params, out_root, in_root, min_frames):
+    """Length-sorted exact batched synthesis (frame_lengths masking).
 
     Files are decoded and featurised on the host, sorted by frame count,
-    grouped `--batch` at a time, zero-padded to the group's 64-frame bucket
-    (bounded shape count -> bounded compiles), and synthesised in one device
-    call per group; per-layer masking makes every row equal its unbatched
-    forward.  Multi-channel files contribute one batch item per channel.
+    grouped `--batch` at a time, zero-padded (lens=0 dummy rows fill the
+    ragged last group so every call reuses one compiled shape per 64-frame
+    bucket), and synthesised in one device call per group; per-layer masking
+    makes every row equal its unbatched forward.  Multi-channel files
+    contribute one item per channel.  Returns the files DEFERRED to the
+    per-file path: longer than the --chunk-frames streaming budget, or
+    shorter than the model's masked-edge minimum (BigVGAN's dynamic edge
+    splice needs >= 32 samples at its first stage).
     """
     items = []  # (file_index, channel, mel (num_mels, F))
     metas = {}  # file_index -> (path, n_channels, frames, true_samples, outputs)
+    deferred = []
     for fi, f in enumerate(files):
-        suffix = f.suffix.lower()
-        if suffix in (".npy", ".pt", ".pth"):
-            if suffix == ".npy":
-                mel = np.load(f)
-            else:
-                import torch
-
-                mel = torch.load(f, map_location="cpu").float().numpy()
-            if mel.ndim == 2:
-                mel = mel[None]
-            if mel.shape[-1] == task.num_mels:  # auto-transpose (test.py:82-84)
-                mel = mel.transpose(0, 2, 1)
-            mel = np.asarray(mel, np.float32)
-            true_t = mel.shape[2] * task.hop_length
-        else:
-            audio, sr = read_audio(f)
-            audio = resample(audio, sr, task.sampling_rate)
-            if args.pitch_shift:
-                ratio = 2 ** (args.pitch_shift / 12)
-                step = round(task.sampling_rate * ratio)
-                audio = resample(audio, step - step % 100, task.sampling_rate)
-            t = audio.shape[-1]
-            pad = (-t) % task.hop_length
-            audio = np.pad(audio, ((0, 0), (0, pad)))
-            mel = np.asarray(featurize(jnp.asarray(audio)))  # (C, num_mels, F)
-            true_t = audio.shape[-1]
-        metas[fi] = (f, mel.shape[0], mel.shape[2], true_t, {})
+        mel, true_t, _audio = _load_mel_item(f, args, task, featurize)
+        frames = mel.shape[2]
+        if (args.chunk_frames and frames > args.chunk_frames) or frames < min_frames:
+            deferred.append(f)
+            continue
+        metas[fi] = (f, mel.shape[0], frames, true_t, {})
         for c in range(mel.shape[0]):
             items.append((fi, c, mel[c]))
 
@@ -105,8 +124,8 @@ def _batched_audio_synthesis(files, args, task, featurize, synth_masked, params,
     for g0 in range(0, len(items), args.batch):
         group = items[g0 : g0 + args.batch]
         fmax = -(-max(it[2].shape[1] for it in group) // 64) * 64
-        mel_b = np.zeros((len(group), task.num_mels, fmax), np.float32)
-        lens = np.zeros(len(group), np.int32)
+        mel_b = np.zeros((args.batch, task.num_mels, fmax), np.float32)
+        lens = np.zeros(args.batch, np.int32)  # dummy rows keep lens 0
         for j, (_, _, m) in enumerate(group):
             mel_b[j, :, : m.shape[1]] = m
             lens[j] = m.shape[1]
@@ -115,13 +134,15 @@ def _batched_audio_synthesis(files, args, task, featurize, synth_masked, params,
             metas[fi][4][c] = out[j, 0, : m.shape[1] * task.hop_length]
             total_s += m.shape[1] * task.hop_length / task.sampling_rate
 
-    log(f"batched synthesis: {len(items)} items, {total_s:.1f}s audio in {time.time() - start:.2f}s")
+    if items:
+        log(f"batched synthesis: {len(items)} items, {total_s:.1f}s audio in {time.time() - start:.2f}s")
     for f, n_ch, _frames, true_t, outs in metas.values():
         fake = np.stack([outs[c] for c in range(n_ch)])[:, :true_t]
         out_path = out_root / f.relative_to(in_root).with_suffix(".wav")
         out_path.parent.mkdir(parents=True, exist_ok=True)
         write_wav(out_path, fake, task.sampling_rate)
         log(f"saved {out_path}")
+    return deferred
 
 
 def main(argv=None):
@@ -174,85 +195,60 @@ def main(argv=None):
     out_root = Path(args.output)
     in_root = input_path.parent if input_path.is_file() else input_path
 
+    # Masked batching requires: a generator with frame_lengths support, no
+    # template, and even (kernel - stride) on every upsample stage (an odd
+    # stage creeps the output length by one sample per item, which the shared
+    # lens bookkeeping cannot represent — fall back rather than be subtly
+    # inexact).
     batchable = args.batch > 1 and task.generator_name in ("hifigan", "vocos", "bigvgan") and not gan.needs_template(task)
+    up_rates = getattr(task.generator, "upsample_rates", ())
+    up_kernels = getattr(task.generator, "upsample_kernel_sizes", ())
+    if batchable and any((k - u) % 2 for u, k in zip(up_rates, up_kernels)):
+        batchable = False
     if args.batch > 1 and not batchable:
         log(f"--batch: falling back to per-file synthesis for {task.generator_name}")
     if batchable:
         batch_suffixes = AUDIO_EXTENSIONS | {".npy", ".pt", ".pth"}
-
-        def _short_enough(f):
-            # Files beyond the chunk budget keep the bounded-memory streaming
-            # path; batching is for the many-short-utterances regime.
-            if not args.chunk_frames or f.suffix.lower() not in AUDIO_EXTENSIONS:
-                return True
-            try:
-                import wave
-
-                if f.suffix.lower() == ".wav":
-                    with wave.open(str(f), "rb") as w:
-                        frames = w.getnframes() * task.sampling_rate // max(w.getframerate(), 1)
-                    return frames // task.hop_length <= args.chunk_frames
-            except Exception:
-                pass
-            return True
-
-        batch_files = [f for f in files if f.suffix.lower() in batch_suffixes and _short_enough(f)]
-        _batched_audio_synthesis(
-            batch_files, args, task, featurize, _synthesize_masked, params, out_root, in_root
+        # BigVGAN's masked aa-snake re-splices each item's edge from a
+        # 32-sample window at its first resblock stage (rate[0] samples per
+        # frame); shorter clips go through the per-file path.
+        min_frames = -(-32 // max(up_rates[0], 1)) if task.generator_name == "bigvgan" else 1
+        batch_files = [f for f in files if f.suffix.lower() in batch_suffixes]
+        deferred = _batched_audio_synthesis(
+            batch_files, args, task, featurize, _synthesize_masked, params, out_root, in_root, min_frames
         )
-        files = [f for f in files if f not in set(batch_files)]
+        batched = set(batch_files) - set(deferred)
+        files = [f for f in files if f not in batched]
 
     for f in files:
         suffix = f.suffix.lower()
-        if suffix in AUDIO_EXTENSIONS:
-            audio, sr = read_audio(f)
-            # Multi-channel files run as a batch, one channel per item
-            # (test.py:56-60 semantics), and write back multi-channel.
-            audio = resample(audio, sr, task.sampling_rate)
-            if args.pitch_shift:
-                ratio = 2 ** (args.pitch_shift / 12)
-                step = round(task.sampling_rate * ratio)
-                audio = resample(audio, step - step % 100, task.sampling_rate)
-            t = audio.shape[-1]
-            pad = (-t) % task.hop_length
-            audio = np.pad(audio, ((0, 0), (0, pad)))
-            mel = featurize(jnp.asarray(audio))
-            template = None
-            if gan.needs_template(task):
-                from vocoder_tpu.data.f0 import estimate_f0, template_from_f0
-
-                template = jnp.asarray(
-                    np.stack(
-                        [
-                            template_from_f0(
-                                estimate_f0(ch, task.sampling_rate, task.hop_length),
-                                task.sampling_rate,
-                                task.hop_length,
-                            )
-                            for ch in audio
-                        ]
-                    )[:, None, :]
-                )
-        elif suffix in (".npy", ".pt", ".pth"):
-            if suffix == ".npy":
-                mel_np = np.load(f)
-            else:
-                import torch
-
-                mel_np = torch.load(f, map_location="cpu").float().numpy()
-            if mel_np.ndim == 2:
-                mel_np = mel_np[None]
-            if mel_np.shape[-1] == task.num_mels:  # auto-transpose (test.py:82-84)
-                mel_np = mel_np.transpose(0, 2, 1)
-            mel = jnp.asarray(mel_np, jnp.float32)
-            template = None
-            if gan.needs_template(task):
+        if suffix not in AUDIO_EXTENSIONS and suffix not in (".npy", ".pt", ".pth"):
+            continue
+        # Multi-channel audio runs as a batch, one channel per item
+        # (test.py:56-60 semantics), and writes back multi-channel.
+        mel_np, _true_t, audio = _load_mel_item(f, args, task, featurize)
+        mel = jnp.asarray(mel_np)
+        template = None
+        if gan.needs_template(task):
+            if audio is None:
                 raise SystemExit(
                     f"{task.generator_name} needs an f0 template derived from source "
                     "audio; precomputed-mel input has none. Pass audio files instead."
                 )
-        else:
-            continue
+            from vocoder_tpu.data.f0 import estimate_f0, template_from_f0
+
+            template = jnp.asarray(
+                np.stack(
+                    [
+                        template_from_f0(
+                            estimate_f0(ch, task.sampling_rate, task.hop_length),
+                            task.sampling_rate,
+                            task.hop_length,
+                        )
+                        for ch in audio
+                    ]
+                )[:, None, :]
+            )
 
         start = time.time()
         if template is None and args.chunk_frames and mel.shape[2] > args.chunk_frames:

@@ -142,11 +142,7 @@ def _amp_init(key, channels: int, kernel_size: int, dilations: tuple, cfg: BigVG
     return {"convs1": convs1, "convs2": convs2, "activations": acts}
 
 
-def _len_mask(x: jnp.ndarray, lens) -> jnp.ndarray:
-    if lens is None:
-        return x
-    m = jnp.arange(x.shape[1])[None, :] < lens[:, None]
-    return x * m[..., None].astype(x.dtype)
+_len_mask = nn.length_mask
 
 
 def _amp_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, cfg: BigVGANConfig, training: bool = False, fold: int = 1, lens=None) -> jnp.ndarray:

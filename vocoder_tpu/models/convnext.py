@@ -156,10 +156,7 @@ def apply(params: dict, x: jnp.ndarray, cfg: ConvNeXtConfig, *, training: bool =
     from vocoder_tpu.parallel import constrain
 
     def mask(v):
-        if frame_lengths is None:
-            return v
-        m = jnp.arange(v.shape[1])[None, :] < frame_lengths[:, None]
-        return v * m[..., None].astype(v.dtype)
+        return nn.length_mask(v, frame_lengths)
 
     x = constrain(x, "data")
     rates = _drop_rates(cfg)

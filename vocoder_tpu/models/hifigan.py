@@ -80,15 +80,10 @@ def _fold_active(training: bool) -> bool:
     return jax.default_backend() == "tpu" and training
 
 
-def _len_mask(x: jnp.ndarray, lens: jnp.ndarray | None) -> jnp.ndarray:
-    """Zero positions >= per-item length.  Masking after EVERY conv makes a
-    right-zero-padded batch compute exactly what each item computes alone
-    (each layer's implicit zero padding is re-established), which is what
-    lets the infer CLI batch variable-length files without tail drift."""
-    if lens is None:
-        return x
-    m = jnp.arange(x.shape[1])[None, :] < lens[:, None]
-    return x * m[..., None].astype(x.dtype)
+# Masking after EVERY conv makes a right-zero-padded batch compute exactly
+# what each item computes alone (each layer's implicit zero padding is
+# re-established) — the masked-batching primitive lives in nn.length_mask.
+_len_mask = nn.length_mask
 
 
 def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, fold: int = 1, lens=None) -> jnp.ndarray:

@@ -293,6 +293,18 @@ def conv_transpose1d_folded_io(p: Params, xf: jnp.ndarray, *, stride: int, paddi
     return y
 
 
+def length_mask(x: jnp.ndarray, lens) -> jnp.ndarray:
+    """Zero positions >= per-item length on a (B, T, C) array (no-op for None).
+
+    The masked-batching primitive: re-applied after every time-mixing op, a
+    right-zero-padded batch computes exactly what each item computes alone.
+    """
+    if lens is None:
+        return x
+    m = jnp.arange(x.shape[1])[None, :] < lens[:, None]
+    return x * m[..., None].astype(x.dtype)
+
+
 def tail_fold_factor(c: int, t: int, active: bool) -> int:
     """Time-fold factor entering an upsampling stage (1 = stay unfolded).
 

@@ -465,6 +465,9 @@ def make_train_step_split(cfg: GANTaskConfig):
         state, d_metrics = d_phase(state, audio_c, fake_c)
         return state, {**g_metrics, **d_metrics}
 
+    # Exposed so cli/bench_train times THE programs training runs, not a copy.
+    step.g_phase = g_phase
+    step.d_phase = d_phase
     return step
 
 
