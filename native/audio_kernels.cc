@@ -200,6 +200,9 @@ static bool decode_subframe(BitReader& br, int block_size, int bps, int64_t* out
   int sf_type = (int)br.read(6);
   int wasted = 0;
   if (br.read(1)) wasted = (int)br.read_unary() + 1;
+  // A hostile unary run can make `wasted` arbitrarily large; shifting by
+  // >= 64 (or leaving bps <= 0) is UB.  The Python oracle errors out here.
+  if (wasted >= bps) return false;
   bps -= wasted;
 
   if (sf_type == 0) {  // CONSTANT
@@ -224,6 +227,9 @@ static bool decode_subframe(BitReader& br, int block_size, int bps, int64_t* out
     int precision = (int)br.read(4) + 1;
     if (precision == 16) return false;
     int shift = (int)br.read_signed(5);
+    // Negative shift is "reserved" in RFC 9639 §9.2.6; `acc >> negative` is UB
+    // in C++.  The Python oracle raises on it — match that error path.
+    if (shift < 0) return false;
     int64_t coefs[32];
     for (int i = 0; i < order; ++i) coefs[i] = br.read_signed(precision);
     scratch.resize(block_size);

@@ -92,6 +92,37 @@ def test_corrupt_flac_fallback_is_counted(tmp_path):
     assert la.fallback_count == 1
 
 
+def test_hostile_subframe_negative_lpc_shift_raises():
+    """RFC 9639 reserves negative LPC shifts; both decoders must error, not UB."""
+    from vocoder_tpu.data.flac import BitReader, BitWriter, _decode_subframe
+
+    bw = BitWriter()
+    bw.write(0, 1)  # padding
+    bw.write(32, 6)  # LPC order 1
+    bw.write(0, 1)  # no wasted bits
+    bw.write_signed(0, 16)  # warmup sample
+    bw.write(11, 4)  # precision 12
+    bw.write_signed(-1, 5)  # NEGATIVE shift (reserved)
+    bw.write_signed(1, 12)  # coefficient
+    bw.align()
+    with pytest.raises(ValueError, match="shift"):
+        _decode_subframe(BitReader(bw.getvalue()), block_size=4, bps=16)
+
+
+def test_hostile_subframe_wasted_bits_overflow_raises():
+    """wasted >= bps leaves no sample bits (and an unbounded << in C++)."""
+    from vocoder_tpu.data.flac import BitReader, BitWriter, _decode_subframe
+
+    bw = BitWriter()
+    bw.write(0, 1)  # padding
+    bw.write(0, 6)  # CONSTANT
+    bw.write(1, 1)  # wasted-bits flag
+    bw.write_unary(16)  # wasted = 17 > bps = 16
+    bw.align()
+    with pytest.raises(ValueError, match="wasted"):
+        _decode_subframe(BitReader(bw.getvalue()), block_size=4, bps=16)
+
+
 def test_flac_corpus_trains_end_to_end(tmp_path):
     """A FLAC-only corpus flows through dataset -> mix -> batches (weak #1 done-bar)."""
     rng = np.random.default_rng(4)

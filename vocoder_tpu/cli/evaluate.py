@@ -140,9 +140,14 @@ def main(argv=None):
             except Exception as e:
                 record(f, e)
 
+    if not pairs:
+        raise SystemExit(
+            f"no generated file matches any of the {len(files)} source files — "
+            "check the generated dir layout / extensions"
+        )
     if errors:
-        print(f"warning: {errors}/{len(files)} file pairs failed to evaluate")
-    if files and errors == len(files):
+        print(f"warning: {errors}/{len(pairs)} file pairs failed to evaluate")
+    if errors == len(pairs):
         raise SystemExit("every file pair failed — the metric pipeline is broken, not the data")
     print("Average scores:")
     for k, v in scores.items():

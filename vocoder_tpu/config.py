@@ -379,5 +379,10 @@ def apply_overrides(cfg, overrides) -> Any:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
             assert isinstance(node, dict), f"override {key!r} conflicts with an earlier leaf"
+        # Reject the reverse-order conflict too (`a.b.c=2 a.b=1` would silently
+        # drop the deeper override by replacing the subtree with a leaf).
+        assert not isinstance(node.get(parts[-1]), dict), (
+            f"override {key!r} conflicts with an earlier deeper override"
+        )
         node[parts[-1]] = _Leaf(_parse_value(raw))
     return _apply_tree(cfg, tree) if tree else cfg

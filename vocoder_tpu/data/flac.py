@@ -253,6 +253,8 @@ def _decode_subframe(br: BitReader, block_size: int, bps: int) -> np.ndarray:
     wasted = 0
     if br.read(1):
         wasted = br.read_unary() + 1
+    if wasted >= bps:  # must leave >= 1 sample bit; also bounds the << below
+        raise ValueError("flac: wasted bits >= sample bits")
     bps -= wasted
 
     if sf_type == 0:  # CONSTANT
@@ -280,6 +282,8 @@ def _decode_subframe(br: BitReader, block_size: int, bps: int) -> np.ndarray:
         if precision == 16:
             raise ValueError("flac: invalid LPC precision")
         shift = br.read_signed(5)
+        if shift < 0:  # reserved by RFC 9639 §9.2.6
+            raise ValueError("flac: negative LPC shift")
         coefs = [br.read_signed(precision) for _ in range(order)]
         res = _decode_residual(br, block_size, order)
         out = np.empty(block_size, np.int64)

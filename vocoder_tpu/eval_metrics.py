@@ -16,10 +16,14 @@ import functools
 import numpy as np
 
 
+_warned_native_pesq = False
+
+
 def pesq(reference: np.ndarray, estimate: np.ndarray, sample_rate: int, mode: str = "wb") -> float:
     """PESQ MOS-LQO (P.862.1 nb / P.862.2 wb); prefers the ITU C extension,
     falls back to the in-repo native implementation.  Inputs must already be
     at 8 kHz (nb) / 16 kHz (wb), like the C wrapper."""
+    global _warned_native_pesq
     try:
         from pesq import pesq as _itu_pesq  # C ext, if the env ever has it
 
@@ -27,6 +31,18 @@ def pesq(reference: np.ndarray, estimate: np.ndarray, sample_rate: int, mode: st
     except ImportError:
         from vocoder_tpu.pesq_native import pesq as _native_pesq
 
+        if not _warned_native_pesq:
+            _warned_native_pesq = True
+            import sys
+
+            print(
+                "note: PESQ computed by the in-repo P.862 implementation "
+                "(vocoder_tpu/pesq_native.py) — the ITU C extension is not "
+                "installed. Scores are on the MOS-LQO scale and pinned by "
+                "golden fixtures, but are not bit-comparable to ITU-extension "
+                "numbers.",
+                file=sys.stderr,
+            )
         return float(_native_pesq(reference, estimate, sample_rate, mode))
 
 

@@ -40,10 +40,16 @@ def maybe_init_distributed() -> None:
     """
     if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
         return
-    from jax._src import distributed as _dist
+    try:
+        # Private API, best-effort: the already-initialised check avoids a
+        # noisy re-init error, but a jax upgrade removing it must not break
+        # startup — fall through to initialize() and tolerate "already ...".
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "coordinator_address", None) is not None:
-        return  # already initialised (e.g. by a test harness or outer launcher)
+        if getattr(_dist.global_state, "coordinator_address", None) is not None:
+            return  # already initialised (e.g. by a test harness or outer launcher)
+    except ImportError:
+        pass
     # jax's auto-detection only covers SLURM/MPI/GKE launchers; on a plain
     # multi-host launch the three env vars define the cluster explicitly.
     kw = {"coordinator_address": os.environ["JAX_COORDINATOR_ADDRESS"]}
@@ -51,7 +57,11 @@ def maybe_init_distributed() -> None:
         kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
     if os.environ.get("JAX_PROCESS_ID"):
         kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
-    jax.distributed.initialize(**kw)
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:  # pragma: no cover - depends on jax internals
+        if "already" not in str(e).lower():
+            raise
 
 
 def _build_train_sampler(cfg: TrainConfig):
