@@ -1,9 +1,11 @@
-"""Host-side audio file I/O with zero native dependencies.
+"""Host-side audio file I/O.
 
 The reference delegates decode to torchaudio/libsox/ffmpeg
-(fish_vocoder/data/transforms/load.py:14-29); this environment has none of
-those, so WAV (PCM 16/24/32 and IEEE float) is decoded/encoded directly with
-the stdlib + numpy.  Other containers raise a clear error (the train-path
+(fish_vocoder/data/transforms/load.py:14-29).  Here WAV (PCM 16/24/32 and
+IEEE float) is decoded/encoded directly with the stdlib + numpy, FLAC via
+the in-repo RFC 9639 codec (vocoder_tpu/data/flac.py, C++ fast path), and
+MP3 via the system libmpg123 binding (vocoder_tpu/data/mp3.py) when that
+library is present.  Other containers raise a clear error (the train-path
 fallback mirrors LoadAudio's intended corrupt-file behaviour — 10 s of
 silence — with its bug B1 fixed: the reference referenced a nonexistent
 ``self.sample_rate`` so its fallback itself crashed).
@@ -31,9 +33,23 @@ AUDIO_EXTENSIONS = {
 }
 
 # Formats this build can actually decode (WAV natively below; FLAC via
-# vocoder_tpu/data/flac.py).  Datasets FAIL FAST on anything else instead of
-# silently substituting silence (round-1 weak #1).
+# vocoder_tpu/data/flac.py; MP3 via the libmpg123 binding when the system
+# library exists).  Datasets FAIL FAST on anything else instead of silently
+# substituting silence (round-1 weak #1).
 DECODABLE_EXTENSIONS = {".wav", ".flac"}
+
+
+def _mp3_decodable() -> bool:
+    from vocoder_tpu.data.mp3 import decoder_available
+
+    return decoder_available()
+
+
+try:  # pragma: no branch
+    if _mp3_decodable():
+        DECODABLE_EXTENSIONS.add(".mp3")
+except Exception:  # defensive: a broken libmpg123 must not break WAV/FLAC IO
+    pass
 
 
 class UnsupportedFormatError(ValueError):
@@ -53,9 +69,17 @@ def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
         from vocoder_tpu.data.flac import read_flac
 
         return read_flac(path)
+    if suffix == ".mp3":
+        if ".mp3" in DECODABLE_EXTENSIONS:
+            from vocoder_tpu.data.mp3 import read_mp3
+
+            return read_mp3(path)
+        raise UnsupportedFormatError(f"{path}: .mp3 needs libmpg123, which is unavailable")
     if suffix in DECODABLE_EXTENSIONS or suffix not in AUDIO_EXTENSIONS:
         return read_wav(path)  # WAV, or sniff unknown extensions as RIFF
-    raise UnsupportedFormatError(f"{path}: no decoder for {suffix!r} (supported: wav, flac)")
+    raise UnsupportedFormatError(
+        f"{path}: no decoder for {suffix!r} (supported: {sorted(DECODABLE_EXTENSIONS)})"
+    )
 
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:

@@ -46,7 +46,8 @@ class VocoderDataset:
             self.paths = [line for line in root.read_text().splitlines() if line.strip()]
         # Fail fast on undecodable formats at CONSTRUCTION, not as silence at
         # step 50k (round-1 weak #1).  The reference's torchaudio decodes
-        # mp3/ogg too; this build decodes wav+flac natively.
+        # mp3/ogg too; this build decodes wav+flac natively and mp3 when
+        # libmpg123 is present.
         from vocoder_tpu.data.audio_io import DECODABLE_EXTENSIONS
 
         bad = sorted({Path(p).suffix.lower() for p in self.paths} - DECODABLE_EXTENSIONS)
