@@ -65,6 +65,67 @@ def test_distortion_is_penalised(speechish):
     assert pesq(x, clipped, sr, "wb") < 3.8
 
 
+def test_golden_scores_pinned(speechish):
+    """Golden fixtures (VERDICT r2 weak #4): exact expected MOS-LQO on fixed
+    synthetic speech + {clean, 40/30/20/10/0 dB noise, clipping, 20 ms delay}.
+    A recalibration of SYM_SCALE/ASYM_SCALE (pesq_native.py) that shifts any
+    recorded val/eval PESQ must fail here, loudly.  The noise points also pin
+    the published PESQ-WB-vs-SNR operating curve cited in the module
+    docstring (~4.5 @40, ~4.1 @30, ~2.6 @20, ~2.0 @10, ~1.6 @0)."""
+    x, sr = speechish
+    sig_p = float(np.mean(x**2))
+    nrng = np.random.default_rng(1)
+    got = {"clean_wb": pesq(x, x, sr, "wb")}
+    for snr in (40, 30, 20, 10, 0):
+        noise = nrng.standard_normal(len(x)) * np.sqrt(sig_p * 10 ** (-snr / 10))
+        got[f"snr{snr}_wb"] = pesq(x, (x + noise).astype(np.float32), sr, "wb")
+    got["clip40_wb"] = pesq(x, np.clip(x, -0.15, 0.15), sr, "wb")
+    d = int(0.020 * sr)
+    got["delay20ms_wb"] = pesq(x, np.concatenate([np.zeros(d, np.float32), x])[: len(x)], sr, "wb")
+
+    golden = {
+        "clean_wb": 4.6439,
+        "snr40_wb": 4.4961,
+        "snr30_wb": 4.0984,
+        "snr20_wb": 2.6011,
+        "snr10_wb": 2.0440,
+        "snr0_wb": 1.6346,
+        "clip40_wb": 3.5899,
+        "delay20ms_wb": 4.6439,
+    }
+    for k, want in golden.items():
+        assert got[k] == pytest.approx(want, abs=2e-3), (k, got[k], want)
+
+
+def test_per_utterance_alignment_recovers_variable_delay(speechish):
+    """P.862 §10 refinement: utterances shifted by DIFFERENT delays must be
+    re-aligned individually — a single global delay cannot fix them."""
+    import vocoder_tpu.pesq_native as P
+
+    x, sr = speechish
+    x = np.asarray(x, np.float64)
+    spans = P._split_utterances(x, sr)
+    assert len(spans) >= 2, "fixture must contain multiple utterances"
+    deg = x.copy()
+    delays = [int(0.012 * sr), -int(0.009 * sr)]
+    for i, (s, e) in enumerate(spans):
+        d = delays[i % len(delays)]
+        seg = x[max(s - d, 0) : min(e - d, len(x))]
+        seg = np.pad(seg, (max(-(s - d), 0), max((e - d) - len(x), 0)))
+        deg[s:e] = seg[: e - s]
+
+    # the refinement recovers the waveform almost exactly (only span-edge
+    # clicks remain) ...
+    aligned = P._utterance_align(x, deg, sr)
+    assert np.mean((aligned - x) ** 2) < 0.02 * np.mean((deg - x) ** 2)
+    # ... and the raw perceptual score improves accordingly
+    ref_f = P._highpass(P._level_align(x - x.mean(), sr), 100.0, sr)
+    deg_f = P._highpass(P._level_align(deg - deg.mean(), sr), 100.0, sr)
+    raw_unaligned = P._mos_raw(ref_f, deg_f, sr)
+    raw_aligned = P._mos_raw(ref_f, P._utterance_align(ref_f, deg_f, sr), sr)
+    assert raw_aligned > raw_unaligned + 0.2, (raw_unaligned, raw_aligned)
+
+
 def test_mode_and_rate_contract(speechish):
     x, sr = speechish
     with pytest.raises(AssertionError):

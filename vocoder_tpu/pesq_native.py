@@ -11,9 +11,11 @@ Pipeline (matching the P.862 block structure):
      over the 350-3250 Hz speech band;
   2. input filtering — IRS-receive-like bandpass (NB) / 100 Hz high-pass (WB),
      applied in the frequency domain;
-  3. time alignment — envelope cross-correlation for the global delay plus a
-     per-half refinement (the full ITU utterance splitter is replaced by this
-     two-piece alignment: vocoder output is constant-delay by construction);
+  3. time alignment — envelope cross-correlation for the global delay, then
+     the P.862 §10 refinement: active-speech utterances are split out and
+     each is independently re-aligned (+-50 ms, sample-level waveform
+     cross-correlation), so variable-delay degradations are not scored as
+     disturbances;
   4. perceptual model — 32 ms Hann frames at 50% overlap, Bark-warped band
      powers (Zwicker scale), partial frequency- and gain-compensation,
      Zwicker-law loudness, masked disturbance with the 0.25·min dead zone and
@@ -140,6 +142,75 @@ def _apply_delay(ref: np.ndarray, deg: np.ndarray, delay: int) -> tuple[np.ndarr
         ref = ref[-delay:]
     n = min(len(ref), len(deg))
     return ref[:n], deg[:n]
+
+
+def _split_utterances(ref: np.ndarray, sr: int) -> list[tuple[int, int]]:
+    """Active-speech spans of `ref` (P.862 §10 utterance splitting, simplified):
+    4 ms energy envelope, -35 dB-from-peak activity threshold, gaps under
+    200 ms merged, spans under 60 ms dropped."""
+    frame = max(sr // 250, 8)
+    n = (len(ref) // frame) * frame
+    if n == 0:
+        return []
+    env = np.sum(ref[:n].reshape(-1, frame) ** 2, axis=1)
+    peak = env.max()
+    if peak <= 0:
+        return []
+    active = env > peak * 10.0 ** (-35.0 / 10.0)
+    spans: list[list[int]] = []
+    for i in np.flatnonzero(active):
+        if spans and i - spans[-1][1] <= (200 * sr // 1000) // frame:
+            spans[-1][1] = i
+        else:
+            spans.append([i, i])
+    min_frames = max((60 * sr // 1000) // frame, 1)
+    return [
+        (s * frame, min((e + 1) * frame, len(ref)))
+        for s, e in spans
+        if (e + 1 - s) >= min_frames
+    ]
+
+
+def _segment_delay(ref_seg: np.ndarray, deg: np.ndarray, start: int, max_shift: int) -> int:
+    """Fine (sample-level) delay of deg around `start` vs ref_seg, within
+    +-max_shift, by FFT cross-correlation of the raw waveforms."""
+    lo = max(start - max_shift, 0)
+    hi = min(start + len(ref_seg) + max_shift, len(deg))
+    win = deg[lo:hi]
+    if len(win) < len(ref_seg) // 2 or not len(ref_seg):
+        return 0
+    m = len(win) + len(ref_seg)
+    n_fft = 1 << (m - 1).bit_length()
+    corr = np.fft.irfft(
+        np.fft.rfft(win, n_fft) * np.conj(np.fft.rfft(ref_seg, n_fft)), n_fft
+    )[: len(win)]
+    # corr[k] = <win[k:], ref_seg>: offset k in the window = delay lo + k - start
+    best = int(np.argmax(corr))
+    return lo + best - start
+
+
+def _utterance_align(ref: np.ndarray, deg: np.ndarray, sr: int) -> np.ndarray:
+    """P.862 §10 per-utterance time alignment (refinement after the global
+    delay): each active-speech span of `ref` is independently re-aligned to
+    `deg` within +-50 ms, and a piecewise-shifted copy of `deg` is assembled.
+    Constant-delay inputs come through untouched (all refinements are 0), so
+    the identity fixed points are preserved exactly; variable-delay
+    degradations (packet loss concealment, VAD-gated codecs) stop being
+    scored as full-utterance disturbances."""
+    max_shift = sr // 20  # 50 ms
+    out = deg.copy()
+    for s, e in _split_utterances(ref, sr):
+        d = _segment_delay(ref[s:e], deg, s, max_shift)
+        if d == 0:
+            continue
+        src_lo, src_hi = s + d, e + d
+        seg = deg[max(src_lo, 0) : min(src_hi, len(deg))]
+        pad_l = max(-src_lo, 0)
+        pad_r = (e - s) - pad_l - len(seg)
+        if pad_l or pad_r > 0:
+            seg = np.pad(seg, (pad_l, max(pad_r, 0)))
+        out[s:e] = seg[: e - s]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +379,7 @@ def pesq(ref: np.ndarray, deg: np.ndarray, sample_rate: int, mode: str = "wb") -
     delay = _delay_estimate(ref, deg, sample_rate)
     if abs(delay) < 0.8 * len(ref):
         ref, deg = _apply_delay(ref, deg, delay)
+    deg = _utterance_align(ref, deg, sample_rate)
 
     raw = _mos_raw(ref, deg, sample_rate)
 
