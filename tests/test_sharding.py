@@ -225,6 +225,140 @@ def test_vocos_tp_compile_has_no_weight_allgather(devices):
         )
 
 
+def _upsampler_task(name: str, uic: int = 256, num_frames: int = 8, dtype: str = "float32"):
+    """GANTaskConfig with a HiFiGAN/BigVGAN-skeleton generator whose first
+    stage is WIDE (C = uic/2 >= 128), so the tensor-parallel region engages."""
+    from vocoder_tpu.models import bigvgan, hifigan, mpd, mrd
+    from vocoder_tpu.train.schedule import WarmupCosineConfig
+
+    hop = 4
+    gen_kw = dict(
+        hop_length=hop,
+        upsample_rates=(2, 2),
+        upsample_kernel_sizes=(4, 4),
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+        num_mels=8,
+        upsample_initial_channel=uic,
+    )
+    gen = (
+        hifigan.HiFiGANConfig(**gen_kw)
+        if name == "hifigan"
+        else bigvgan.BigVGANConfig(**gen_kw)
+    )
+    return gan.GANTaskConfig(
+        sampling_rate=8000,
+        n_fft=16,
+        hop_length=hop,
+        win_length=16,
+        num_mels=8,
+        generator_name=name,
+        generator=gen,
+        mpd=mpd.MPDConfig(periods=(2, 3), channels=(1, 4, 8)),
+        mrd=mrd.MRDConfig(resolutions=((16, 4, 16),)),
+        stft_resolutions=((16, 4, 16),),
+        num_frames=num_frames,
+        crop_length=hop * 2,
+        compute_dtype=dtype,
+        schedule=WarmupCosineConfig(val_base=1e-4, max_decay_steps=1000),
+    )
+
+
+@pytest.mark.parametrize("name", ["hifigan", "bigvgan"])
+def test_upsampler_param_specs_mirror_init_tree(name):
+    """Spec trees must mirror init() path-for-path: train_state_specs matches
+    by path suffix, so a structural drift silently degrades to the heuristic."""
+    from jax.sharding import PartitionSpec as P
+
+    from vocoder_tpu.models.registry import get_generator
+
+    gd = get_generator(name)
+    for use_template in (False, True):
+        cfg = dataclasses_replace(gd.config_cls(), use_template=use_template)
+        params = jax.eval_shape(lambda: gd.init(jax.random.key(0), cfg))
+        specs = gd.param_specs(cfg)
+        p_paths = [p for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+        s_paths = [
+            p
+            for p, _ in jax.tree_util.tree_flatten_with_path(
+                specs, is_leaf=lambda x: isinstance(x, P)
+            )[0]
+        ]
+        assert p_paths == s_paths, f"{name} use_template={use_template}: spec tree drifted"
+        # and the wide first stage actually shards something
+        leaves = jax.tree_util.tree_flatten_with_path(specs, is_leaf=lambda x: isinstance(x, P))[0]
+        assert any("model" in jax.tree.leaves(tuple(s)) for _, s in leaves if s), name
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+@pytest.mark.parametrize("name", ["hifigan", "bigvgan"])
+def test_upsampler_tp_matches_single_device(name, devices):
+    """Tensor-parallel HiFiGAN/BigVGAN (explicit specs + shard_channels
+    constraints) is numerically the single-device program."""
+    task = _upsampler_task(name)
+    t = task.hop_length * task.num_frames
+    rng = np.random.default_rng(1)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((2, 1, t)) * 0.3, jnp.float32),
+        "lengths": jnp.full((2,), t, jnp.int32),
+    }
+
+    state1 = gan.create_train_state(jax.random.key(0), task)
+    _, m1 = jax.jit(gan.make_train_step(task))(state1, batch)
+
+    mesh = make_mesh(data=1, model=2, devices=devices[:2])
+    with mesh:
+        state2 = gan.create_train_state_sharded(jax.random.key(0), task, mesh)
+        _, m2 = jax.jit(gan.make_train_step(task))(state2, batch)
+
+    np.testing.assert_allclose(
+        float(m1["train/generator/all"]), float(m2["train/generator/all"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(m1["train/discriminator/all"]), float(m2["train/discriminator/all"]), rtol=2e-4
+    )
+
+
+def test_bigvgan_base_tp_compile_has_no_weight_allgather(devices):
+    """Compile the GAN train step with BigVGAN at BASE widths (512-channel
+    init, the north-star channel-sharding target) on a model=2 mesh: no
+    all-gather may materialise a wide-stage weight/grad/moment."""
+    from vocoder_tpu.config import build_task_config
+    from vocoder_tpu.parallel.mesh import train_state_specs
+
+    task = build_task_config(model="bigvgan", resolution="44100_512_2048")
+    import dataclasses
+
+    task = dataclasses.replace(task, num_frames=8, crop_length=task.hop_length * 2)
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    abstract = jax.eval_shape(lambda k: gan.create_train_state(k, task), jax.random.key(0))
+    specs = train_state_specs(abstract, mesh, gan.model_param_specs(task))
+
+    t = task.hop_length * task.num_frames
+    abs_state = jax.tree.map(
+        lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s), abstract, specs
+    )
+    abs_batch = {
+        "audio": jax.ShapeDtypeStruct((2, 1, t), jnp.float32, sharding=batch_sharding(mesh)),
+        "lengths": jax.ShapeDtypeStruct((2,), jnp.int32, sharding=batch_sharding(mesh)),
+    }
+    step = jax.jit(gan.make_train_step(task), donate_argnums=0)
+    with mesh:
+        compiled = step.lower(abs_state, abs_batch).compile()
+
+    # Largest wide-stage weight: ups[0] (16,512,256) = 2M params -> 8 MB fp32 /
+    # 4 MB bf16.  Any all-gather >= 2 MB means a wide weight (or its grad or
+    # adam moment) was re-replicated; legit gathers here are KB-scale.
+    gathers = _allgather_bytes(compiled.as_text())
+    big = [(b, l) for b, l in gathers if b >= 2 * 1024 * 1024]
+    assert not big, f"unexpected large all-gathers: {big[:5]}"
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 

@@ -85,9 +85,19 @@ def _fold_active(training: bool) -> bool:
 # re-established) — the masked-batching primitive lives in nn.length_mask.
 _len_mask = nn.length_mask
 
+# Tensor-parallel width gate: stages whose channel count is below one full
+# 128-lane tile per device are not worth sharding (they are exactly the
+# stages the time-fold makes lane-dense instead).  param_specs and the
+# activation constraints in apply() use the same gate so weights and
+# activations always agree.
+_TP_MIN_CHANNELS = 128
+
 
 def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple, fold: int = 1, lens=None) -> jnp.ndarray:
+    from vocoder_tpu.parallel import shard_channels
+
     t, c = x.shape[1], x.shape[2]
+    wide = fold == 1 and c >= _TP_MIN_CHANNELS  # see param_specs
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
         pad1 = nn.get_padding(kernel_size, d)
         pad2 = nn.get_padding(kernel_size)
@@ -96,12 +106,12 @@ def _resblock_apply(p: dict, x: jnp.ndarray, kernel_size: int, dilations: tuple,
             xt = nn.conv1d_folded_io(c1, xt, padding=pad1, dilation=d, fold=fold)
         else:
             xt = nn.conv1d(c1, xt, padding=pad1, dilation=d, fold=nn.choose_fold(kernel_size, d, pad1, c, t))
-        xt = nn.silu(_len_mask(xt, lens))
+        xt = nn.silu(_len_mask(shard_channels(xt, wide), lens))
         if fold > 1:
             xt = nn.conv1d_folded_io(c2, xt, padding=pad2, fold=fold)
         else:
             xt = nn.conv1d(c2, xt, padding=pad2, fold=nn.choose_fold(kernel_size, 1, pad2, c, t))
-        x = x + _len_mask(xt, lens)
+        x = x + _len_mask(shard_channels(xt, wide), lens)
     return x
 
 
@@ -153,6 +163,80 @@ def init(key, cfg: HiFiGANConfig) -> dict:
     return params
 
 
+def param_specs(cfg: HiFiGANConfig):
+    """PartitionSpec tree mirroring init(): tensor parallelism for the wide
+    upsampling stages (SURVEY §2.10; the BASELINE.md north star names channel
+    sharding of the BigVGAN/HiFiGAN skeleton).
+
+    Scheme — channel-sharded activations end to end through every stage with
+    C >= _TP_MIN_CHANNELS: each conv there is ROW-parallel over its input
+    axis (weight (K, I, O) sharded on I), and apply()'s shard_channels
+    constraint makes GSPMD reduce-scatter the partial sums straight back to
+    a sharded layout, so the elementwise work (SiLU / snake activations —
+    the measured cost center of these generators) also runs on 1/m of the
+    lanes.  conv_pre is column-parallel (it starts the chain from a
+    replicated mel).  Narrow tail stages (< 128 ch) replicate: they are the
+    time-folded lane-dense region, where a model shard would split folded
+    lanes.  Same scheme as models/bigvgan.py::param_specs.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    R = P()
+    rep_wn = {"v": R, "g": R, "b": R}
+
+    def col_conv(c_out: int) -> dict:  # conv1d weight norm: g (1,1,O)
+        if c_out < _TP_MIN_CHANNELS:
+            return dict(rep_wn)
+        return {"v": P(None, None, "model"), "g": P(None, None, "model"), "b": P("model")}
+
+    def row_conv(c_in: int, c_out: int) -> dict:  # conv1d: shard I
+        if c_in < _TP_MIN_CHANNELS:
+            return dict(rep_wn)
+        # g (1,1,O) stays replicated: sharding it on O while v shards I would
+        # two-axis-shard the materialised weight v * g/||v|| over one mesh axis.
+        return {
+            "v": P(None, "model", None),
+            "g": R,
+            "b": P("model") if c_out >= _TP_MIN_CHANNELS else R,
+        }
+
+    def row_up(c_in: int, c_out: int) -> dict:  # conv_transpose1d: g (1,I,1)
+        if c_in < _TP_MIN_CHANNELS:
+            return dict(rep_wn)
+        return {
+            "v": P(None, "model", None),
+            "g": P(None, "model", None),
+            "b": P("model") if c_out >= _TP_MIN_CHANNELS else R,
+        }
+
+    n_ups = len(cfg.upsample_rates)
+    specs: dict = {"conv_pre": col_conv(cfg.upsample_initial_channel)}
+    ups, noise_convs, resblocks = [], [], []
+    for i in range(n_ups):
+        c_in = cfg.upsample_initial_channel // (2**i)
+        c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
+        ups.append(row_up(c_in, c_out))
+        if cfg.use_template:  # plain conv {"w","b"}, in_ch=1: column-parallel
+            if c_out >= _TP_MIN_CHANNELS:
+                noise_convs.append({"w": P(None, None, "model"), "b": P("model")})
+            else:
+                noise_convs.append({"w": R, "b": R})
+        blocks = [
+            {
+                "convs1": [row_conv(c_out, c_out) for _ in d_r],
+                "convs2": [row_conv(c_out, c_out) for _ in d_r],
+            }
+            for d_r in cfg.resblock_dilation_sizes
+        ]
+        resblocks.append({"blocks": blocks})
+    specs["ups"] = ups
+    if cfg.use_template:
+        specs["noise_convs"] = noise_convs
+    specs["resblocks"] = resblocks
+    specs["conv_post"] = dict(rep_wn)
+    return specs
+
+
 def apply(
     params: dict,
     mel: jnp.ndarray,
@@ -170,8 +254,11 @@ def apply(
     re-masked (see _len_mask), so row i of the batched output equals the
     unbatched forward of item i over its first frame_lengths[i] frames.
     """
+    from vocoder_tpu.parallel import shard_channels
+
     x = jnp.transpose(mel, (0, 2, 1))  # -> (B, T, C)
     x = nn.conv1d(params["conv_pre"], x, padding=nn.get_padding(cfg.pre_conv_kernel_size))
+    x = shard_channels(x, cfg.upsample_initial_channel >= _TP_MIN_CHANNELS)
     lens = frame_lengths
     x = _len_mask(x, lens)
 
@@ -193,6 +280,7 @@ def apply(
         x, r, t_cur = nn.folded_stack_upsample(
             params["ups"][i], x, fold=r, stride=u, kernel=k, c_out=c_out, active=active
         )
+        x = shard_channels(x, r == 1 and c_out >= _TP_MIN_CHANNELS)
         if lens is not None:
             lens = lens * u
             x = _len_mask(x, lens)

@@ -26,7 +26,9 @@ def _build() -> dict[str, GeneratorDef]:
     from vocoder_tpu.models import hifigan, vocos
 
     defs = {
-        "hifigan": GeneratorDef(hifigan.HiFiGANConfig, hifigan.init, hifigan.apply, hifigan.from_torch_state_dict),
+        "hifigan": GeneratorDef(
+            hifigan.HiFiGANConfig, hifigan.init, hifigan.apply, hifigan.from_torch_state_dict, hifigan.param_specs
+        ),
         "vocos": GeneratorDef(
             vocos.VocosConfig, vocos.init, vocos.apply, vocos.from_torch_state_dict, vocos.param_specs
         ),
@@ -35,7 +37,7 @@ def _build() -> dict[str, GeneratorDef]:
         from vocoder_tpu.models import bigvgan
 
         defs["bigvgan"] = GeneratorDef(
-            bigvgan.BigVGANConfig, bigvgan.init, bigvgan.apply, bigvgan.from_torch_state_dict
+            bigvgan.BigVGANConfig, bigvgan.init, bigvgan.apply, bigvgan.from_torch_state_dict, bigvgan.param_specs
         )
     except ImportError:
         pass

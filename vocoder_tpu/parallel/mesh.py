@@ -142,6 +142,22 @@ def constrain(x: jnp.ndarray, *spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*fixed)))
 
 
+def shard_channels(x: jnp.ndarray, wide: bool = True):
+    """Pin (B, ..., C) activations to P("data", ..., "model") when the stage
+    is wide enough to tensor-shard (`wide`), else P("data", ...).
+
+    The upsampling generators (HiFiGAN/BigVGAN) use this with
+    wide = (C >= 128 and unfolded): wide stages carry channel-sharded
+    activations end to end (every conv is row-parallel over its input axis,
+    GSPMD reduce-scatters its output back to sharded), while the narrow
+    time-folded tail stages stay model-replicated — exactly the stages whose
+    weights param_specs replicates.  No-op without an ambient mesh.
+    """
+    if wide and x.ndim >= 2:
+        return constrain(x, *(["data"] + [None] * (x.ndim - 2) + ["model"]))
+    return constrain(x, "data")
+
+
 def shard_train_state(state, mesh: Mesh, gen_specs=None):
     """Place a whole TrainState on the mesh.
 
