@@ -70,3 +70,26 @@ def test_fused_short_input_falls_back():
     got = fused_aa_snake(x, alpha, beta, True, interpret=True)
     want = _reference(x, alpha, beta, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("c,fold", [(16, 8), (32, 4), (64, 2)])
+def test_folded_pipeline_pallas_backend_matches_xla(c, fold):
+    """AA_FOLDED_BACKEND='pallas': the kernel called from the FOLDED pipeline
+    (free unfold -> kernel -> free refold) equals aa_snake_poly4_folded, i.e.
+    the alias_free_torch composition, exactly — the round-3 one-HBM-pass
+    candidate for the folded tail (BENCH.md)."""
+    from vocoder_tpu.ops.antialias import aa_snake_poly4_folded
+
+    rng = np.random.default_rng(2)
+    t = 1024  # multiple of every tested fold
+    x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(c) * 0.3, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(c) * 0.3, jnp.float32)
+
+    b = x.shape[0]
+    xf = x.reshape(b, t // fold, fold * c)
+    want = np.asarray(aa_snake_poly4_folded(xf, alpha, beta, True, fold))
+    got = np.asarray(
+        fused_aa_snake(x, alpha, beta, True, interpret=True).reshape(b, t // fold, fold * c)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

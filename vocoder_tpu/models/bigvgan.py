@@ -89,6 +89,23 @@ AA_BACKEND = "auto"
 # ops/antialias.aa_snake_poly4_folded.
 TAIL_FOLD = "auto"  # "auto" | "on" | "off"
 
+# Backend for the FOLDED aa-snake (fold > 1 stages):
+#   "xla"    — ops/antialias.aa_snake_poly4_folded: four dense (rC, rC)
+#              folded depthwise convs on the MXU (structural-zero FLOPs) +
+#              snake; the round-2 measured default (236 ms b16 inference).
+#   "pallas" — ops/pallas/aa_snake.fused_aa_snake on the (free) unfolded
+#              view: the kernel lane-folds internally to the SAME (T/r, 128)
+#              layout, so in the folded pipeline there is no re-tiling on
+#              either side; it does the true 6-tap math (no structural-zero
+#              MXU work) in ONE HBM pass.  Inference-forward only (training
+#              keeps XLA: the kernel call blocks conv-gradient fusion,
+#              measured round 2).
+# Default from $VOCODER_AA_FOLDED_BACKEND so the TPU bench can A/B it in one
+# command; stays "xla" until the pallas path measures faster on hardware.
+import os as _os
+
+AA_FOLDED_BACKEND = _os.environ.get("VOCODER_AA_FOLDED_BACKEND", "xla")  # "xla" | "pallas"
+
 
 def _fold_active() -> bool:
     if TAIL_FOLD == "off":
@@ -107,6 +124,15 @@ def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool, training: bool = False, f
 
         return aa_snake_poly4_masked(x, alpha, beta, logscale, lens)
     if fold > 1:
+        if AA_FOLDED_BACKEND == "pallas" and not training and jax.default_backend() != "cpu":
+            from vocoder_tpu.ops.pallas.aa_snake import fused_aa_snake
+
+            b, rows, rc = x.shape
+            c = rc // fold
+            # Unfold is free (C minor, row-major); the kernel re-folds to the
+            # identical (rows, 128) tiling internally.
+            zu = fused_aa_snake(x.reshape(b, rows * fold, c), alpha, beta, logscale)
+            return zu.reshape(b, rows, rc)
         from vocoder_tpu.ops.antialias import aa_snake_poly4_folded
 
         return aa_snake_poly4_folded(x, alpha, beta, logscale, fold)
