@@ -70,16 +70,16 @@ def test_flac_float_api_matches_wav_quantisation(tmp_path):
 
 
 def test_read_audio_rejects_unsupported_format(tmp_path):
-    (tmp_path / "song.ogg").write_bytes(b"OggS" + b"\x00" * 100)
+    (tmp_path / "song.wma").write_bytes(b"\x30\x26\xb2\x75" + b"\x00" * 100)
     with pytest.raises(UnsupportedFormatError):
-        read_audio(tmp_path / "song.ogg")
+        read_audio(tmp_path / "song.wma")
 
 
 def test_dataset_fails_fast_on_undecodable_corpus(tmp_path):
     write_wav(tmp_path / "ok.wav", np.zeros(1000, np.float32), 16000)
-    (tmp_path / "bad.ogg").write_bytes(b"OggS" + b"\x00" * 100)
+    (tmp_path / "bad.wma").write_bytes(b"\x30\x26\xb2\x75" + b"\x00" * 100)
     tr = T.val_transform(sampling_rate=16000, hop_length=256, crop_frames=4)
-    with pytest.raises(ValueError, match="ogg"):
+    with pytest.raises(ValueError, match="wma"):
         VocoderDataset(root=tmp_path, transform=tr)
 
 

@@ -4,8 +4,8 @@ The reference delegates decode to torchaudio/libsox/ffmpeg
 (fish_vocoder/data/transforms/load.py:14-29).  Here WAV (PCM 16/24/32 and
 IEEE float) is decoded/encoded directly with the stdlib + numpy, FLAC via
 the in-repo RFC 9639 codec (vocoder_tpu/data/flac.py, C++ fast path), and
-MP3 via the system libmpg123 binding (vocoder_tpu/data/mp3.py) when that
-library is present.  Other containers raise a clear error (the train-path
+MP3 / Ogg-Vorbis via system codec bindings (vocoder_tpu/data/{mp3,ogg}.py)
+when those libraries are present.  Other containers raise a clear error (the train-path
 fallback mirrors LoadAudio's intended corrupt-file behaviour — 10 s of
 silence — with its bug B1 fixed: the reference referenced a nonexistent
 ``self.sample_rate`` so its fallback itself crashed).
@@ -39,16 +39,20 @@ AUDIO_EXTENSIONS = {
 DECODABLE_EXTENSIONS = {".wav", ".flac"}
 
 
-def _mp3_decodable() -> bool:
-    from vocoder_tpu.data.mp3 import decoder_available
-
-    return decoder_available()
-
-
 try:  # pragma: no branch
+    from vocoder_tpu.data.mp3 import decoder_available as _mp3_decodable
+
     if _mp3_decodable():
         DECODABLE_EXTENSIONS.add(".mp3")
 except Exception:  # defensive: a broken libmpg123 must not break WAV/FLAC IO
+    pass
+
+try:  # pragma: no branch
+    from vocoder_tpu.data.ogg import decoder_available as _ogg_decodable
+
+    if _ogg_decodable():
+        DECODABLE_EXTENSIONS.add(".ogg")
+except Exception:  # defensive: a broken libvorbisfile must not break IO
     pass
 
 
@@ -75,6 +79,12 @@ def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
 
             return read_mp3(path)
         raise UnsupportedFormatError(f"{path}: .mp3 needs libmpg123, which is unavailable")
+    if suffix == ".ogg":
+        if ".ogg" in DECODABLE_EXTENSIONS:
+            from vocoder_tpu.data.ogg import read_ogg
+
+            return read_ogg(path)
+        raise UnsupportedFormatError(f"{path}: .ogg needs libvorbisfile, which is unavailable")
     if suffix in DECODABLE_EXTENSIONS or suffix not in AUDIO_EXTENSIONS:
         return read_wav(path)  # WAV, or sniff unknown extensions as RIFF
     raise UnsupportedFormatError(
