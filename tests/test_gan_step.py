@@ -256,3 +256,32 @@ def test_no_recompile_on_second_step():
     else:  # fallback: compare aval weak types before/after
         for leaf in jax.tree.leaves(state.gen_params):
             assert not getattr(leaf, "weak_type", False)
+
+
+def test_bf16_loss_stft_trains_and_tracks_fp32():
+    """task.loss_stft_dtype='bfloat16' relaxes only the loss-spectra framing/
+    DFT dtype; the step must stay finite and the measured losses must track
+    the fp32 step closely at init (same weights, same batch)."""
+    cfg32 = tiny_cfg()
+    cfg16 = cfg32.replace(loss_stft_dtype="bfloat16", spectral_precision="default")
+    t = cfg32.hop_length * cfg32.num_frames
+    rng = np.random.default_rng(5)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((2, 1, t)) * 0.3, jnp.float32),
+        "lengths": jnp.full((2,), t, jnp.int32),
+    }
+    s32 = gan.create_train_state(jax.random.key(0), cfg32)
+    s16 = gan.create_train_state(jax.random.key(0), cfg16)
+    _, m32 = jax.jit(gan.make_train_step(cfg32))(s32, batch)
+    s16, m16 = jax.jit(gan.make_train_step(cfg16))(s16, batch)
+    assert np.isfinite(float(m16["train/generator/all"]))
+    # bf16 has ~3 decimal digits; loss magnitudes here are O(100)
+    np.testing.assert_allclose(
+        float(m16["train/generator/stft"]), float(m32["train/generator/stft"]), rtol=0.05
+    )
+    np.testing.assert_allclose(
+        float(m16["train/generator/mel"]), float(m32["train/generator/mel"]), rtol=0.05
+    )
+    # and a second step runs on the updated params (grads flowed through bf16)
+    s16, m16b = jax.jit(gan.make_train_step(cfg16))(s16, batch)
+    assert np.isfinite(float(m16b["train/generator/all"])) and int(s16.step) == 2

@@ -24,6 +24,7 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--spectral-precision", default="highest")
+    ap.add_argument("--loss-stft-dtype", default="float32", choices=("float32", "bfloat16"))
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--g-only", action="store_true", help="skip the discriminator phase")
     args = ap.parse_args(argv)
@@ -36,7 +37,9 @@ def main(argv=None):
     from vocoder_tpu.train import gan as gan_mod
 
     cfg = build_task_config(model=args.model, resolution=args.resolution).replace(
-        compute_dtype=args.compute_dtype, spectral_precision=args.spectral_precision
+        compute_dtype=args.compute_dtype,
+        spectral_precision=args.spectral_precision,
+        loss_stft_dtype=args.loss_stft_dtype,
     )
     t_samples = cfg.num_frames * cfg.hop_length
     state = gan_mod.create_train_state(jax.random.key(0), cfg)

@@ -29,6 +29,10 @@ def stft_loss_single(
         y, n_fft=n_fft, hop_length=hop, win_length=win, padding="center", mag_mode="clamp_inside",
         precision=precision,
     )
+    # Magnitudes may arrive in bf16 (task.loss_stft_dtype relaxes the framing
+    # and DFT matmuls); the cheap norm/log reductions always accumulate fp32.
+    x_mag = x_mag.astype(jnp.float32)
+    y_mag = y_mag.astype(jnp.float32)
     sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
     mag = jnp.mean(jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)))
     return sc, mag

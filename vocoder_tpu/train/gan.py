@@ -81,6 +81,13 @@ class GANTaskConfig:
     # "high" = 3-pass (>= the reference's TF32 cuFFT-adjacent quality,
     # train.py:12-13 enables TF32); "default" = single-pass bf16.
     spectral_precision: str = "highest"  # "highest" | "high" | "default"
+    # Waveform dtype entering the LOSS spectra (MR-STFT + mel-L1).  bfloat16
+    # halves the loss-path framing/DFT HBM traffic (the ~8 ms/step
+    # spectral_precision ablation target, BENCH.md); combine with
+    # spectral_precision="default" for bf16 matmuls.  The generator/mel
+    # INPUT transform always stays fp32 — only the loss measurement is
+    # relaxed.  Measured A/B on the 60-step smoke before changing defaults.
+    loss_stft_dtype: str = "float32"  # "float32" | "bfloat16"
 
     def replace(self, **kw) -> "GANTaskConfig":
         return dataclasses.replace(self, **kw)
@@ -359,14 +366,17 @@ def _generator_loss(gen_params, disc_params, audio, mask, cfg: GANTaskConfig, rn
     audio_m = audio * mask
     fake_m = fake * mask
 
+    loss_dt = jnp.bfloat16 if cfg.loss_stft_dtype == "bfloat16" else jnp.float32
+    audio_l = audio_m[:, 0].astype(loss_dt)
+    fake_l = fake_m[:, 0].astype(loss_dt)
     sc_loss, mag_loss = multi_resolution_stft_loss(
-        fake_m[:, 0], audio_m[:, 0], cfg.stft_resolutions, spectral_precision(cfg)
+        fake_l, audio_l, cfg.stft_resolutions, spectral_precision(cfg)
     )
     loss_stft = sc_loss + mag_loss
 
-    audio_mel = loss_mel_transform(cfg, audio_m[:, 0])
-    fake_mel = loss_mel_transform(cfg, fake_m[:, 0])
-    loss_mel = jnp.mean(jnp.abs(audio_mel - fake_mel))
+    audio_mel = loss_mel_transform(cfg, audio_l)
+    fake_mel = loss_mel_transform(cfg, fake_l)
+    loss_mel = jnp.mean(jnp.abs(audio_mel.astype(jnp.float32) - fake_mel.astype(jnp.float32)))
 
     # Crop before the discriminators to bound their cost (gan.py:130-137).
     t = audio.shape[2]
