@@ -82,6 +82,65 @@ def test_posterior_encoder_vae_mode_parity_eval():
     np.testing.assert_allclose(np.asarray(got_mask), want_mask.numpy())
 
 
+def test_posterior_encoder_bnvae_mode_parity_eval():
+    """bnvae eval: BN uses the (loaded) running stats; z == bn(mean) * mask."""
+    torch.manual_seed(2)
+    ref = PosteriorEncoder(mode="bnvae", **SMALL)
+    # Make the running stats non-trivial so the test actually exercises them.
+    with torch.no_grad():
+        ref.mu_bn.running_mean.uniform_(-0.5, 0.5)
+        ref.mu_bn.running_var.uniform_(0.5, 2.0)
+        ref.mu_bn.bias.uniform_(-0.3, 0.3)
+    ref.eval()
+
+    cfg = wavenet.PosteriorEncoderConfig(mode="bnvae", **SMALL)
+    params = wavenet.from_torch_state_dict(ref.state_dict(), cfg)
+    bn_state = wavenet.bn_state_from_torch(ref.state_dict())
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, SMALL["in_channels"], 19)).astype(np.float32)
+    lengths = np.asarray([19, 11])
+
+    with torch.no_grad():
+        want_z, want_mean, want_logvar, _ = ref(torch.from_numpy(x), torch.from_numpy(lengths))
+    got_z, got_mean, got_logvar, _, new_bn = wavenet.apply(
+        params, jnp.asarray(x), cfg, jnp.asarray(lengths), training=False, bn_state=bn_state
+    )
+    np.testing.assert_allclose(np.asarray(got_z), want_z.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_mean), want_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_logvar), want_logvar.numpy(), rtol=1e-4, atol=1e-5)
+    # eval must not touch the running stats
+    np.testing.assert_array_equal(np.asarray(new_bn["mean"]), np.asarray(bn_state["mean"]))
+
+
+def test_posterior_encoder_bnvae_training_stats_parity():
+    """bnvae train: batch-stat normalisation + running-stat EMA match torch."""
+    torch.manual_seed(3)
+    ref = PosteriorEncoder(mode="bnvae", **SMALL)
+    ref.train()
+
+    cfg = wavenet.PosteriorEncoderConfig(mode="bnvae", **SMALL)
+    params = wavenet.from_torch_state_dict(ref.state_dict(), cfg)
+    bn_state = wavenet.bn_state_from_torch(ref.state_dict())
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, SMALL["in_channels"], 13)).astype(np.float32)
+
+    with torch.no_grad():
+        _, want_mean, _, _ = ref(torch.from_numpy(x))  # mean is deterministic even in train
+    _, got_mean, _, _, new_bn = wavenet.apply(
+        params, jnp.asarray(x), cfg, training=True, rng=jax.random.key(0), bn_state=bn_state
+    )
+    np.testing.assert_allclose(np.asarray(got_mean), want_mean.numpy(), rtol=1e-4, atol=1e-5)
+    # torch updated its running buffers in-place during forward
+    np.testing.assert_allclose(
+        np.asarray(new_bn["mean"]), ref.mu_bn.running_mean.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_bn["var"]), ref.mu_bn.running_var.numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_posterior_encoder_vae_training_sampling():
     cfg = wavenet.PosteriorEncoderConfig(mode="vae", **SMALL)
     params = wavenet.init(jax.random.key(0), cfg)
