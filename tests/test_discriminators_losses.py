@@ -139,6 +139,61 @@ def test_mrd_folded_backend_matches_plain():
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4 * scale, rtol=1e-3)
 
 
+def test_mpd_folded_backend_matches_image():
+    """Period-into-batch conv1d stack (dense sublanes on TPU) must agree with
+    the literal (B, T/p, p, C) conv2d images at loss AND gradient level.
+    The (k,1) kernels never mix across the period axis, so the dot products
+    are identical; scores are unfolded back to the image element order."""
+    import jax
+
+    cfg = mpd.MPDConfig(periods=(3, 5, 7, 11, 17, 23, 37))  # gan.yaml primes
+    params = mpd.init(jax.random.key(0), cfg)
+    # T=8192+5 exercises the pad-to-multiple-of-p path for every period
+    fake = jax.random.normal(jax.random.key(1), (2, 1, 8197)) * 0.1
+    real = jax.random.normal(jax.random.key(2), (2, 1, 8197)) * 0.1
+
+    def losses(params, backend):
+        old = mpd.MPD_BACKEND
+        mpd.MPD_BACKEND = backend
+        try:
+            sf, ff = mpd.apply(params, fake, cfg)
+            sr, fr = mpd.apply(params, real, cfg)
+            return (
+                generator_adversarial_loss(sf)
+                + feature_matching_loss(fr, ff)
+                + discriminator_loss(sr, sf)
+            )
+        finally:
+            mpd.MPD_BACKEND = old
+
+    li, gi = jax.value_and_grad(losses)(params, "image")
+    lf, gf = jax.value_and_grad(losses)(params, "folded")
+    np.testing.assert_allclose(float(lf), float(li), rtol=1e-5)
+    scale = max(float(jnp.max(jnp.abs(a))) for a in jax.tree.leaves(gi))
+    for a, b_ in zip(jax.tree.leaves(gi), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4 * scale, rtol=1e-3)
+
+
+def test_mpd_folded_scores_exact_order():
+    """Folded-backend scores are element-for-element the image scores."""
+    import jax
+
+    cfg = mpd.MPDConfig(periods=(3, 11))
+    params = mpd.init(jax.random.key(3), cfg)
+    x = jax.random.normal(jax.random.key(4), (2, 1, 4099)) * 0.1
+    old = mpd.MPD_BACKEND
+    try:
+        mpd.MPD_BACKEND = "image"
+        si, _ = mpd.apply(params, x, cfg)
+        mpd.MPD_BACKEND = "folded"
+        sf, _ = mpd.apply(params, x, cfg)
+    finally:
+        mpd.MPD_BACKEND = old
+    for a, b_ in zip(si, sf):
+        assert a.shape == b_.shape
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-6)
+
+
 def test_mr_stft_loss_parity():
     torch.manual_seed(2)
     resolutions = [[256, 64, 128], [512, 120, 300]]
