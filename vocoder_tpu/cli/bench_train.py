@@ -27,6 +27,11 @@ def main(argv=None):
     ap.add_argument("--loss-stft-dtype", default="float32", choices=("float32", "bfloat16"))
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--g-only", action="store_true", help="skip the discriminator phase")
+    ap.add_argument(
+        "--memory-stats",
+        action="store_true",
+        help="print XLA memory_analysis of the compiled phases + live HBM after the run",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -55,6 +60,20 @@ def main(argv=None):
 
     def sync(state):
         float(jnp.sum(jax.tree.leaves(state.gen_params)[0]))
+
+    if args.memory_stats:
+        # AOT view of what the north-star model costs in HBM (VERDICT r2 #7):
+        # argument (train-state) bytes + XLA temp/peak for each phase.
+        ma = g_phase.lower(state, batch).compile().memory_analysis()
+        mem = {
+            "g_phase": {
+                "argument_mb": round(getattr(ma, "argument_size_in_bytes", 0) / 2**20, 1),
+                "output_mb": round(getattr(ma, "output_size_in_bytes", 0) / 2**20, 1),
+                "temp_mb": round(getattr(ma, "temp_size_in_bytes", 0) / 2**20, 1),
+                "peak_mb": round(getattr(ma, "peak_memory_in_bytes", 0) / 2**20, 1),
+            }
+        }
+        print(json.dumps({"metric": "memory_analysis", "model": args.model, **mem}), flush=True)
 
     state, gm, ac, fc = g_phase(state, batch)
     if not args.g_only:
@@ -88,6 +107,10 @@ def main(argv=None):
         "audio_s_per_s": round(audio_s / (total_ms / 1000.0), 1),
     }
     print(json.dumps(rec), flush=True)
+    if args.memory_stats:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        keep = {k: v for k, v in ms.items() if "bytes" in k}
+        print(json.dumps({"metric": "hbm_stats", "model": args.model, **keep}), flush=True)
     return rec
 
 
