@@ -14,6 +14,9 @@ run() {
 # North-star single-chip anchor: what TP must beat (may OOM -> that's the result).
 run train_vocos_huge_b4 python -m vocoder_tpu.cli.bench_train --model vocos_huge --batch 4 --memory-stats
 run infer_hifigan_b16 python -m vocoder_tpu.cli.bench_infer --model hifigan --batch 16
+# Do the loss-path relaxations stack? (bf16 loss STFT 71.5 ms, spectral high 75.5 ms, base 81.1)
+run train_hifigan_relaxed python -m vocoder_tpu.cli.bench_train --model hifigan --spectral-precision high --loss-stft-dtype bfloat16
+run train_bigvgan_relaxed python -m vocoder_tpu.cli.bench_train --model bigvgan --spectral-precision high --loss-stft-dtype bfloat16
 
 # 60-step loss-curve A/B on synthetic clips: fp32 vs bf16 loss-STFT.
 python - <<'EOF'

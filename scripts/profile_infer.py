@@ -16,7 +16,7 @@ import pathlib
 import tempfile
 
 
-def parse_xplane(trace_dir: pathlib.Path, top: int = 30):
+def parse_xplane(trace_dir: pathlib.Path):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(trace_dir.rglob("*.xplane.pb"))
@@ -102,7 +102,7 @@ def main(argv=None):
             out = run(params, mel)
         float(jnp.sum(out))
 
-    for plane, per_op in parse_xplane(trace_dir, args.top):
+    for plane, per_op in parse_xplane(trace_dir):
         total = sum(per_op.values())
         print(f"\n== {plane}: {total:.2f} ms total over {args.iters} iters ==")
         buckets = collections.Counter()

@@ -93,3 +93,19 @@ def test_mp3_corpus_trains_end_to_end(tmp_path):
     b = next(it)
     assert b["audio"].shape == (2, 1, 256 * 8)
     assert np.abs(b["audio"]).max() > 0.01
+
+
+@needs_codec
+def test_concatenated_mp3_format_change_errors_not_corrupts(tmp_path):
+    """`cat a.mp3 b.mp3` with different formats: mpg123 resyncs and emits a
+    second NEW_FORMAT; joining the chunks would interleave the first
+    segment's samples across fake channels and mislabel its rate.  read_mp3
+    must raise ValueError (counted-fallback semantics), not return corrupt
+    audio."""
+    write_mp3(tmp_path / "a.mp3", _tone(44100, 0.5), 44100)
+    stereo = np.stack([_tone(48000, 0.5), _tone(48000, 0.5, freqs=(250.0,), amps=(0.4,))])
+    write_mp3(tmp_path / "b.mp3", stereo, 48000)
+    blob = (tmp_path / "a.mp3").read_bytes() + (tmp_path / "b.mp3").read_bytes()
+    (tmp_path / "cat.mp3").write_bytes(blob)
+    with pytest.raises(ValueError, match="format"):
+        read_mp3(tmp_path / "cat.mp3")

@@ -73,3 +73,19 @@ def test_corrupt_ogg_is_counted_fallback(tmp_path):
     assert audio.shape == (1, 8000 * 10)
     assert np.all(audio == 0)
     assert la.fallback_count == 1
+
+
+@needs_codec
+def test_chained_ogg_with_format_change_errors_not_crashes(tmp_path):
+    """ov_read_float decodes across chained links transparently; a later link
+    with FEWER channels would make pcm[ch] dereference an invalid pointer (a
+    process crash the counted fallback can't catch).  read_ogg must raise
+    ValueError instead."""
+    sr = 16000
+    stereo = np.stack([_tone(sr, 0.5), _tone(sr, 0.5, freqs=(250.0,), amps=(0.4,))])
+    write_ogg(tmp_path / "a.ogg", stereo, sr)
+    write_ogg(tmp_path / "b.ogg", _tone(sr, 0.5), sr)  # mono link
+    chained = (tmp_path / "a.ogg").read_bytes() + (tmp_path / "b.ogg").read_bytes()
+    (tmp_path / "chained.ogg").write_bytes(chained)
+    with pytest.raises(ValueError, match="chained"):
+        read_ogg(tmp_path / "chained.ogg")

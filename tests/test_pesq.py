@@ -134,3 +134,26 @@ def test_mode_and_rate_contract(speechish):
         pesq(x, x, sr, "superwide")
     with pytest.raises(ValueError):
         pesq(np.zeros(16000, np.float32), np.zeros(16000, np.float32), sr, "wb")  # silence
+
+
+def test_segment_delay_bounded_by_max_shift():
+    """The per-utterance refinement may only pick |delay| <= max_shift; a
+    partial-overlap correlation peak far outside the window must not win
+    (it could blank a whole utterance by reading past the degraded signal)."""
+    import vocoder_tpu.pesq_native as P
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    max_shift = sr // 20
+    ref_seg = rng.standard_normal(sr // 4).astype(np.float32)
+    # deg: silence with an exact copy of ref_seg placed far beyond max_shift.
+    deg = np.zeros(sr * 2, np.float32)
+    far = sr  # 1 s >> 50 ms
+    deg[far : far + len(ref_seg)] = ref_seg
+    d = P._segment_delay(ref_seg, deg, start=0, max_shift=max_shift)
+    assert abs(d) <= max_shift
+    # And a true in-window delay is still found exactly.
+    deg2 = np.zeros(sr * 2, np.float32)
+    true_d = 300
+    deg2[true_d : true_d + len(ref_seg)] = ref_seg
+    assert P._segment_delay(ref_seg, deg2, start=0, max_shift=max_shift) == true_d

@@ -25,7 +25,7 @@ def _local_hubert_path() -> str | None:
     if cache.exists():
         snaps = sorted((cache / "snapshots").glob("*")) if (cache / "snapshots").exists() else []
         for s in reversed(snaps):
-            if (s / "config.json").exists() and any(s.glob("*.bin")) or any(s.glob("*.safetensors")):
+            if (s / "config.json").exists() and (any(s.glob("*.bin")) or any(s.glob("*.safetensors"))):
                 return str(s)
     return None
 

@@ -49,6 +49,7 @@ _lame_lib = None
 
 
 def _load(names: tuple[str, ...]):
+    """First loadable CDLL among `names`, else None (shared with ogg.py)."""
     for name in names:
         try:
             return ctypes.CDLL(name)
@@ -183,6 +184,15 @@ def read_mp3(path: str | Path) -> tuple[np.ndarray, int]:
                 lib.mpg123_getformat(
                     handle, ctypes.byref(rate), ctypes.byref(channels), ctypes.byref(encoding)
                 )
+                # A second NEW_FORMAT with different params means a mid-stream
+                # format change (e.g. naively concatenated MP3s): joining the
+                # chunks would interleave channels wrongly and mislabel the
+                # rate — silent corruption.  Fail loudly instead.
+                if sr and (int(rate.value) != sr or int(channels.value) != n_ch):
+                    raise ValueError(
+                        f"{path}: mp3 stream changes format mid-file "
+                        f"({n_ch}ch@{sr} -> {int(channels.value)}ch@{int(rate.value)}); unsupported"
+                    )
                 sr, n_ch = int(rate.value), int(channels.value)
                 if encoding.value != _MPG123_ENC_FLOAT_32:
                     raise ValueError(f"{path}: unexpected mpg123 encoding {encoding.value:#x}")

@@ -76,13 +76,7 @@ def _blob(size: int = 8192):
     return ctypes.create_string_buffer(size)
 
 
-def _load(names):
-    for n in names:
-        try:
-            return ctypes.CDLL(n)
-        except OSError:
-            continue
-    return None
+from vocoder_tpu.data.mp3 import _load  # shared CDLL-probing helper
 
 
 def _libs():
@@ -201,6 +195,16 @@ def read_ogg(path: str | Path) -> tuple[np.ndarray, int]:
                 break
             if n < 0:  # hole/corrupt section: fail loudly, not silently
                 raise ValueError(f"{path}: corrupt vorbis stream (ov_read_float rc={n})")
+            # Chained streams can change format mid-file; ov_read_float decodes
+            # across links transparently, so re-check the CURRENT link before
+            # dereferencing pcm with the first link's channel count (fewer
+            # channels would read an invalid pointer — a crash, not an error).
+            li = vf.ov_info(ovf, bitstream.value)
+            if li and (int(li.contents.channels) != channels or int(li.contents.rate) != rate):
+                raise ValueError(
+                    f"{path}: chained Ogg stream changes format mid-file "
+                    f"({channels}ch@{rate} -> {int(li.contents.channels)}ch@{int(li.contents.rate)}); unsupported"
+                )
             frame = np.empty((channels, n), np.float32)
             for ch in range(channels):
                 frame[ch] = np.ctypeslib.as_array(pcm[ch], shape=(n,))

@@ -253,53 +253,29 @@ def param_specs(cfg: BigVGANConfig):
     """
     from jax.sharding import PartitionSpec as P
 
+    from vocoder_tpu.parallel import tp_specs as tp
+
     R = P()
-    rep_wn = {"v": R, "g": R, "b": R}
-
-    def col_conv(c_out: int) -> dict:
-        if c_out < _TP_MIN_CHANNELS:
-            return dict(rep_wn)
-        return {"v": P(None, None, "model"), "g": P(None, None, "model"), "b": P("model")}
-
-    def row_conv(c_in: int, c_out: int) -> dict:
-        if c_in < _TP_MIN_CHANNELS:
-            return dict(rep_wn)
-        return {
-            "v": P(None, "model", None),
-            "g": R,  # (1,1,O): sharding O while v shards I would two-axis-shard the weight
-            "b": P("model") if c_out >= _TP_MIN_CHANNELS else R,
-        }
-
-    def row_up(c_in: int, c_out: int) -> dict:  # conv_transpose1d: g (1,I,1)
-        if c_in < _TP_MIN_CHANNELS:
-            return dict(rep_wn)
-        return {
-            "v": P(None, "model", None),
-            "g": P(None, "model", None),
-            "b": P("model") if c_out >= _TP_MIN_CHANNELS else R,
-        }
+    m = _TP_MIN_CHANNELS
 
     def snake(c: int) -> dict:
-        spec = P("model") if c >= _TP_MIN_CHANNELS else R
+        spec = P("model") if c >= m else R
         return {"alpha": spec, "beta": spec} if cfg.activation == "snakebeta" else {"alpha": spec}
 
     n_ups = len(cfg.upsample_rates)
-    specs: dict = {"conv_pre": col_conv(cfg.upsample_initial_channel)}
+    specs: dict = {"conv_pre": tp.col_conv(cfg.upsample_initial_channel, m)}
     ups, noise_convs, resblocks = [], [], []
     for i in range(n_ups):
         c_in = cfg.upsample_initial_channel // (2**i)
         c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
-        ups.append(row_up(c_in, c_out))
+        ups.append(tp.row_up(c_in, c_out, m))
         if cfg.use_template:
-            if c_out >= _TP_MIN_CHANNELS:
-                noise_convs.append({"w": P(None, None, "model"), "b": P("model")})
-            else:
-                noise_convs.append({"w": R, "b": R})
+            noise_convs.append(tp.noise_conv(c_out, m))
         for d_r in cfg.resblock_dilation_sizes:
             resblocks.append(
                 {
-                    "convs1": [row_conv(c_out, c_out) for _ in d_r],
-                    "convs2": [row_conv(c_out, c_out) for _ in d_r],
+                    "convs1": [tp.row_conv(c_out, c_out, m) for _ in d_r],
+                    "convs2": [tp.row_conv(c_out, c_out, m) for _ in d_r],
                     "activations": [snake(c_out) for _ in range(2 * len(d_r))],
                 }
             )
@@ -311,7 +287,7 @@ def param_specs(cfg: BigVGANConfig):
     specs["post_act"] = (
         {"alpha": R, "beta": R} if cfg.activation == "snakebeta" else {"alpha": R}
     )
-    specs["conv_post"] = dict(rep_wn)
+    specs["conv_post"] = tp.rep_wn()
     return specs
 
 

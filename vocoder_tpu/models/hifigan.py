@@ -179,52 +179,22 @@ def param_specs(cfg: HiFiGANConfig):
     time-folded lane-dense region, where a model shard would split folded
     lanes.  Same scheme as models/bigvgan.py::param_specs.
     """
-    from jax.sharding import PartitionSpec as P
+    from vocoder_tpu.parallel import tp_specs as tp
 
-    R = P()
-    rep_wn = {"v": R, "g": R, "b": R}
-
-    def col_conv(c_out: int) -> dict:  # conv1d weight norm: g (1,1,O)
-        if c_out < _TP_MIN_CHANNELS:
-            return dict(rep_wn)
-        return {"v": P(None, None, "model"), "g": P(None, None, "model"), "b": P("model")}
-
-    def row_conv(c_in: int, c_out: int) -> dict:  # conv1d: shard I
-        if c_in < _TP_MIN_CHANNELS:
-            return dict(rep_wn)
-        # g (1,1,O) stays replicated: sharding it on O while v shards I would
-        # two-axis-shard the materialised weight v * g/||v|| over one mesh axis.
-        return {
-            "v": P(None, "model", None),
-            "g": R,
-            "b": P("model") if c_out >= _TP_MIN_CHANNELS else R,
-        }
-
-    def row_up(c_in: int, c_out: int) -> dict:  # conv_transpose1d: g (1,I,1)
-        if c_in < _TP_MIN_CHANNELS:
-            return dict(rep_wn)
-        return {
-            "v": P(None, "model", None),
-            "g": P(None, "model", None),
-            "b": P("model") if c_out >= _TP_MIN_CHANNELS else R,
-        }
-
+    m = _TP_MIN_CHANNELS
     n_ups = len(cfg.upsample_rates)
-    specs: dict = {"conv_pre": col_conv(cfg.upsample_initial_channel)}
+    specs: dict = {"conv_pre": tp.col_conv(cfg.upsample_initial_channel, m)}
     ups, noise_convs, resblocks = [], [], []
     for i in range(n_ups):
         c_in = cfg.upsample_initial_channel // (2**i)
         c_out = cfg.upsample_initial_channel // (2 ** (i + 1))
-        ups.append(row_up(c_in, c_out))
-        if cfg.use_template:  # plain conv {"w","b"}, in_ch=1: column-parallel
-            if c_out >= _TP_MIN_CHANNELS:
-                noise_convs.append({"w": P(None, None, "model"), "b": P("model")})
-            else:
-                noise_convs.append({"w": R, "b": R})
+        ups.append(tp.row_up(c_in, c_out, m))
+        if cfg.use_template:
+            noise_convs.append(tp.noise_conv(c_out, m))
         blocks = [
             {
-                "convs1": [row_conv(c_out, c_out) for _ in d_r],
-                "convs2": [row_conv(c_out, c_out) for _ in d_r],
+                "convs1": [tp.row_conv(c_out, c_out, m) for _ in d_r],
+                "convs2": [tp.row_conv(c_out, c_out, m) for _ in d_r],
             }
             for d_r in cfg.resblock_dilation_sizes
         ]
@@ -233,7 +203,7 @@ def param_specs(cfg: HiFiGANConfig):
     if cfg.use_template:
         specs["noise_convs"] = noise_convs
     specs["resblocks"] = resblocks
-    specs["conv_post"] = dict(rep_wn)
+    specs["conv_post"] = tp.rep_wn()
     return specs
 
 

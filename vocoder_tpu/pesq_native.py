@@ -184,8 +184,15 @@ def _segment_delay(ref_seg: np.ndarray, deg: np.ndarray, start: int, max_shift: 
     corr = np.fft.irfft(
         np.fft.rfft(win, n_fft) * np.conj(np.fft.rfft(ref_seg, n_fft)), n_fft
     )[: len(win)]
-    # corr[k] = <win[k:], ref_seg>: offset k in the window = delay lo + k - start
-    best = int(np.argmax(corr))
+    # corr[k] = <win[k:], ref_seg>: offset k in the window = delay lo + k - start.
+    # Only k with |delay| <= max_shift are admissible; larger k are
+    # partial-overlap (zero-padded) correlations whose spurious peaks could
+    # pick a delay up to the utterance length and blank the segment out.
+    k_lo = max(start - max_shift - lo, 0)
+    k_hi = min(start + max_shift - lo, len(corr) - 1)
+    if k_hi < k_lo:
+        return 0
+    best = k_lo + int(np.argmax(corr[k_lo : k_hi + 1]))
     return lo + best - start
 
 
