@@ -71,6 +71,7 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--out", default=None, help="trace dir (default: temp)")
+    ap.add_argument("--train", action="store_true", help="profile the split G+D train step instead")
     args = ap.parse_args(argv)
 
     import jax
@@ -82,18 +83,44 @@ def main(argv=None):
     from vocoder_tpu.models.registry import get_generator
 
     task = build_task_config(args.model, args.resolution)
-    gen = get_generator(task.generator_name)
-    nn.set_default_precision(lax.Precision.DEFAULT)
-    params = gen.init(jax.random.key(0), task.generator)
-    params = nn.fold_weight_norm(params)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    mel = jnp.zeros((args.batch, task.num_mels, args.frames), jnp.bfloat16)
+    if args.train:
+        import numpy as np
 
-    @jax.jit
-    def run(p, m):
-        return gen.apply(p, m, task.generator)
+        from vocoder_tpu.train import gan as gan_mod
 
-    float(jnp.sum(run(params, mel)))  # compile + warmup
+        cfg = task.replace(compute_dtype="bfloat16")
+        t_samples = cfg.num_frames * cfg.hop_length
+        state = gan_mod.create_train_state(jax.random.key(0), cfg)
+        batch = {
+            "audio": jnp.asarray(
+                np.random.default_rng(0).standard_normal((args.batch, 1, t_samples)), jnp.float32
+            )
+            * 0.1,
+            "lengths": jnp.full((args.batch,), t_samples, jnp.int32),
+        }
+        step = gan_mod.make_train_step_split(cfg)
+
+        def run(_p, _m):
+            nonlocal state
+            state, gm, ac, fc = step.g_phase(state, batch)
+            state, dm = step.d_phase(state, ac, fc)
+            return gm["train/generator/all"]
+
+        params, mel = None, None
+        float(run(None, None))  # compile + warmup
+    else:
+        gen = get_generator(task.generator_name)
+        nn.set_default_precision(lax.Precision.DEFAULT)
+        params = gen.init(jax.random.key(0), task.generator)
+        params = nn.fold_weight_norm(params)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        mel = jnp.zeros((args.batch, task.num_mels, args.frames), jnp.bfloat16)
+
+        @jax.jit
+        def run(p, m):
+            return gen.apply(p, m, task.generator)
+
+        float(jnp.sum(run(params, mel)))  # compile + warmup
 
     trace_dir = pathlib.Path(args.out or tempfile.mkdtemp(prefix="prof_"))
     with jax.profiler.trace(str(trace_dir)):
