@@ -12,5 +12,4 @@ run() {
 }
 run profile_bigvgan_infer python scripts/profile_infer.py --model bigvgan --batch 16 --top 40 --out /tmp/prof_bv_inf
 run profile_bigvgan_train python scripts/profile_infer.py --model bigvgan --batch 8 --train --top 40 --out /tmp/prof_bv_train
-run infer_bigvgan_b64 python -m vocoder_tpu.cli.bench_infer --model bigvgan --batch 64
 echo "=== SWEEP3 DONE $(date -u +%H:%M:%S) ===" >> "$LOG"

@@ -13,7 +13,10 @@ from __future__ import annotations
 import argparse
 import collections
 import pathlib
+import sys
 import tempfile
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))  # repo root
 
 
 def parse_xplane(trace_dir: pathlib.Path):

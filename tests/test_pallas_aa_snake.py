@@ -93,3 +93,29 @@ def test_folded_pipeline_pallas_backend_matches_xla(c, fold):
         fused_aa_snake(x, alpha, beta, True, interpret=True).reshape(b, t // fold, fold * c)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("fold", [1, 4, 8])
+def test_dwconv_shift_backend_matches_conv_backend(monkeypatch, fold):
+    """The shift-FMA depthwise-FIR lowering (layout-flip-free, r3 profile
+    finding) must agree with the conv/matmul lowering on both the unfolded
+    and folded paths."""
+    from vocoder_tpu.ops import antialias as aa
+
+    rng = np.random.default_rng(0)
+    c, rows = 16, 64
+    alpha = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    if fold == 1:
+        x = jnp.asarray(rng.standard_normal((2, rows * 8, c)), jnp.float32)
+        monkeypatch.setattr(aa, "DWCONV_BACKEND", "shift")
+        z_shift = aa.aa_snake_poly4(x, alpha, beta, True)
+        monkeypatch.setattr(aa, "DWCONV_BACKEND", "conv")
+        z_conv = aa.aa_snake_poly4(x, alpha, beta, True)
+    else:
+        xf = jnp.asarray(rng.standard_normal((2, rows, fold * c)), jnp.float32)
+        monkeypatch.setattr(aa, "DWCONV_BACKEND", "shift")
+        z_shift = aa.aa_snake_poly4_folded(xf, alpha, beta, True, fold)
+        monkeypatch.setattr(aa, "DWCONV_BACKEND", "conv")
+        z_conv = aa.aa_snake_poly4_folded(xf, alpha, beta, True, fold)
+    np.testing.assert_allclose(np.asarray(z_shift), np.asarray(z_conv), rtol=2e-5, atol=2e-5)

@@ -12,6 +12,7 @@ f0-template path.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from math import prod
 
 import jax
@@ -78,7 +79,11 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
 #                 saves the pre-activations instead of recomputing them)
 #   "compose"   — up(2x) FIR -> snake -> down(2x) FIR (the reference
 #                 alias_free_torch structure): 677 ms
-AA_BACKEND = "auto"
+# Env-overridable for on-chip A/Bs: with the folded tail, only the C>=128
+# stages still run unfolded, and the round-2 "pallas wins at inference"
+# measurement predates the fold (the r3 profile shows the kernel's
+# custom-calls + memory-space copies dominating those stages).
+AA_BACKEND = _os.environ.get("VOCODER_AA_BACKEND", "auto")
 
 # Small-channel tail stages keep activations time-folded (B, T/r, r*C) with
 # r*C = 128 — see models/hifigan.py TAIL_FOLD for the rationale (XLA pads a
@@ -102,8 +107,6 @@ TAIL_FOLD = "auto"  # "auto" | "on" | "off"
 #              measured round 2).
 # Default from $VOCODER_AA_FOLDED_BACKEND so the TPU bench can A/B it in one
 # command; stays "xla" until the pallas path measures faster on hardware.
-import os as _os
-
 AA_FOLDED_BACKEND = _os.environ.get("VOCODER_AA_FOLDED_BACKEND", "xla")  # "xla" | "pallas"
 
 

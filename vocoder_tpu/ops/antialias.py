@@ -120,11 +120,35 @@ def polyphase_taps():
     return f_e, f_o, g_o, g_e
 
 
+# Depthwise-FIR lowering (both numerically equivalent; the taps are shared
+# across channels, so the "conv" is really 6 shifted scalar FMAs):
+#   "shift" — static slices + FMAs: pure elementwise, fuses into the
+#             surrounding snake/elementwise fusions and — decisively — does
+#             NOT flip the activation layout.  The r3 train profile showed
+#             depthwise convs making XLA relayout the C>=128 stages to a
+#             batch-interleaved {2,0,1} layout and paying 57% of the BigVGAN
+#             step in transpose copies.
+#   "conv"  — feature_group_count=C depthwise conv_general_dilated (the
+#             round-1/2 form).
+import os as _os
+
+DWCONV_BACKEND = _os.environ.get("VOCODER_DWCONV", "shift")  # "shift" | "conv"
+
+
+def _dwconv_shift(v, taps):
+    """y[t] = sum_j taps[j] * v[t + j] (VALID) as shifted FMAs on (B, T, C)."""
+    t_out = v.shape[1] - len(taps) + 1
+    acc = None
+    for j, f in enumerate(np.asarray(taps, np.float32).tolist()):
+        term = f * v[:, j : j + t_out, :].astype(jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc.astype(v.dtype)
+
+
 def _dwconv(v, taps, dtype=None):
-    """Plain depthwise 6-tap VALID correlation on (B, T, C) — the one conv
-    form XLA lowers well at every channel width (BENCH.md negative results:
-    grouped 2-lane contractions are 2x slower, transposed multiplier-2 convs
-    worse still — which is why the custom VJP below exists)."""
+    """Depthwise 6-tap VALID correlation on (B, T, C); see DWCONV_BACKEND."""
+    if DWCONV_BACKEND == "shift":
+        return _dwconv_shift(v, taps)
     c = v.shape[-1]
     w = jnp.broadcast_to(jnp.asarray(taps, dtype or v.dtype)[:, None, None], (len(taps), 1, c))
     return lax.conv_general_dilated(
@@ -305,13 +329,38 @@ def _dwconv_folded(vf: jnp.ndarray, taps, r: int, padding: int, c: int) -> jnp.n
     """Depthwise correlation y[t] = sum_tau taps[tau] * v[t + tau - padding]
     evaluated directly on a time-folded (B, T/r, r*C) array (zero padding).
 
-    The folded weight expands the per-fold-phase tap matrix with a channel
-    identity — heavy in structural-zero FLOPs, but depthwise FLOPs are
-    trivial and the payoff is that the surrounding snake/elementwise ops stay
-    on lane-dense arrays instead of a C<128 minor dim padded to the 128-lane
-    tile.
+    "shift" backend (default): the taps are channel-shared scalars, so each
+    output phase block j is a sum of k row-shifted, lane-block-selected FMAs
+    — pure elementwise work that fuses with the surrounding snake and never
+    materialises a folded weight (the r3 inference profile showed the
+    in-jit-built (Q, rC, rC) weights costing ms-scale async copies) nor pays
+    structural-zero MXU FLOPs.
+
+    "conv" backend: expand the per-fold-phase tap matrix with a channel
+    identity into a dense folded conv — heavy in structural zeros, kept for
+    A/B.
     """
     from vocoder_tpu import nn
+
+    if DWCONV_BACKEND == "shift":
+        b, rows, rc = vf.shape
+        k = len(taps)
+        qmin = -((padding + r - 1) // r)
+        qmax = ((r - 1) + (k - 1) - padding) // r
+        vp = jnp.pad(vf, ((0, 0), (-qmin, qmax), (0, 0))).astype(jnp.float32)
+        taps_f = [float(t) for t in np.asarray(taps, np.float64)]
+        outs = []
+        for j in range(r):
+            acc = None
+            for tau in range(k):
+                s_off = j + tau - padding
+                q = s_off // r  # python floor-div handles negatives
+                i = s_off - q * r
+                blk = vp[:, (q - qmin) : (q - qmin) + rows, i * c : (i + 1) * c]
+                term = taps_f[tau] * blk
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=-1).astype(vf.dtype)
 
     idx, mask, qmin, qmax = nn._fold_index(len(taps), r, padding, 1)
     tf = jnp.asarray(np.asarray(taps, np.float32)[idx] * mask, vf.dtype)  # (Q, r, r)
