@@ -61,28 +61,24 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
 
 
-# Anti-aliased activation backends (all numerically equivalent; BigVGAN
-# end-to-end inference, v5e bf16 b16):
-#   "auto"      — inference: pallas on TPU, polyphase elsewhere; training:
-#                 polyphase everywhere (default).  Measured under the full
-#                 train step the pallas forward LOSES (598 vs 480 ms/step,
-#                 b8x128 bf16) — the kernel call breaks XLA's fusion of the
-#                 activation into the surrounding conv gradients — while at
-#                 inference it wins (422 vs 517 ms).
+# Anti-aliased activation backend for the UNFOLDED (fold == 1) stages — with
+# the folded tail active these are only the C >= 128 stages.  All backends
+# are numerically equivalent:
+#   "auto"      — poly4 everywhere (default).  Round 2 measured the pallas
+#                 kernel winning at inference on the then-unfolded pipeline
+#                 (422 vs 517 ms); with the folded tail the r3 profile showed
+#                 the kernel's custom-call boundaries forcing memory-space
+#                 copies on the C>=128 stages, and the re-measured A/B flips:
+#                 poly4 210.8 ms vs pallas-auto 234.3 ms (b16 inference).
 #   "pallas"    — ops/pallas/aa_snake.py fused VMEM kernel (lane-folded
-#                 polyphase, one HBM pass): 422 ms
-#   "polyphase" — ops/antialias.aa_snake_polyphase: 1x-rate fused-branch
-#                 depthwise correlations, 2x intermediate never
-#                 materialised: 517 ms; custom-VJP backward
-#   "poly4"     — same math as four plain depthwise convs with XLA autodiff;
-#                 the fastest TRAINING form (g-phase 414 vs 494 ms — autodiff
-#                 saves the pre-activations instead of recomputing them)
+#                 polyphase, one HBM pass)
+#   "polyphase" — ops/antialias.aa_snake_polyphase: fused-branch depthwise
+#                 correlations, custom-VJP backward
+#   "poly4"     — four plain depthwise convs, XLA autodiff (fastest in BOTH
+#                 training — autodiff saves the pre-activations — and, post-
+#                 fold, inference)
 #   "compose"   — up(2x) FIR -> snake -> down(2x) FIR (the reference
 #                 alias_free_torch structure): 677 ms
-# Env-overridable for on-chip A/Bs: with the folded tail, only the C>=128
-# stages still run unfolded, and the round-2 "pallas wins at inference"
-# measurement predates the fold (the r3 profile shows the kernel's
-# custom-calls + memory-space copies dominating those stages).
 AA_BACKEND = _os.environ.get("VOCODER_AA_BACKEND", "auto")
 
 # Small-channel tail stages keep activations time-folded (B, T/r, r*C) with
@@ -141,7 +137,7 @@ def _aa_snake(p: dict, x: jnp.ndarray, logscale: bool, training: bool = False, f
         return aa_snake_poly4_folded(x, alpha, beta, logscale, fold)
     backend = AA_BACKEND
     if backend == "auto":
-        backend = "pallas" if (jax.default_backend() == "tpu" and not training) else "poly4"
+        backend = "poly4"  # fastest measured in both training and (post-fold) inference
     if backend == "polyphase":
         from vocoder_tpu.ops.antialias import aa_snake_polyphase
 

@@ -122,17 +122,19 @@ def polyphase_taps():
 
 # Depthwise-FIR lowering (both numerically equivalent; the taps are shared
 # across channels, so the "conv" is really 6 shifted scalar FMAs):
-#   "shift" — static slices + FMAs: pure elementwise, fuses into the
-#             surrounding snake/elementwise fusions and — decisively — does
-#             NOT flip the activation layout.  The r3 train profile showed
-#             depthwise convs making XLA relayout the C>=128 stages to a
-#             batch-interleaved {2,0,1} layout and paying 57% of the BigVGAN
-#             step in transpose copies.
-#   "conv"  — feature_group_count=C depthwise conv_general_dilated (the
-#             round-1/2 form).
+#   "conv"  — feature_group_count=C depthwise conv_general_dilated
+#             (default).
+#   "shift" — static slices + FMAs.  Hypothesis from the r3 train profile
+#             (depthwise convs relayout the C>=128 stages to batch-
+#             interleaved {2,0,1}, 57% of the BigVGAN step in transpose
+#             copies) — MEASURED WORSE on v5e: train 218.8 vs 208.3 ms,
+#             poly4 inference 453.2 vs 210.8 ms.  In the folded layout the
+#             per-phase lane-block selects are cross-lane shuffles, exactly
+#             the permutation the MXU does for free in the matmul form; kept
+#             as an A/B backend and a recorded negative result (BENCH.md).
 import os as _os
 
-DWCONV_BACKEND = _os.environ.get("VOCODER_DWCONV", "shift")  # "shift" | "conv"
+DWCONV_BACKEND = _os.environ.get("VOCODER_DWCONV", "conv")  # "conv" | "shift"
 
 
 def _dwconv_shift(v, taps):
