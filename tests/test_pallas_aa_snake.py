@@ -95,8 +95,9 @@ def test_folded_pipeline_pallas_backend_matches_xla(c, fold):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("backend", ["shift", "dense"])
 @pytest.mark.parametrize("fold", [1, 4, 8])
-def test_dwconv_shift_backend_matches_conv_backend(monkeypatch, fold):
+def test_dwconv_alt_backends_match_conv_backend(monkeypatch, backend, fold):
     """The shift-FMA depthwise-FIR lowering (layout-flip-free, r3 profile
     finding) must agree with the conv/matmul lowering on both the unfolded
     and folded paths."""
@@ -108,13 +109,13 @@ def test_dwconv_shift_backend_matches_conv_backend(monkeypatch, fold):
     beta = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
     if fold == 1:
         x = jnp.asarray(rng.standard_normal((2, rows * 8, c)), jnp.float32)
-        monkeypatch.setattr(aa, "DWCONV_BACKEND", "shift")
+        monkeypatch.setattr(aa, "DWCONV_BACKEND", backend)
         z_shift = aa.aa_snake_poly4(x, alpha, beta, True)
         monkeypatch.setattr(aa, "DWCONV_BACKEND", "conv")
         z_conv = aa.aa_snake_poly4(x, alpha, beta, True)
     else:
         xf = jnp.asarray(rng.standard_normal((2, rows, fold * c)), jnp.float32)
-        monkeypatch.setattr(aa, "DWCONV_BACKEND", "shift")
+        monkeypatch.setattr(aa, "DWCONV_BACKEND", backend)
         z_shift = aa.aa_snake_poly4_folded(xf, alpha, beta, True, fold)
         monkeypatch.setattr(aa, "DWCONV_BACKEND", "conv")
         z_conv = aa.aa_snake_poly4_folded(xf, alpha, beta, True, fold)

@@ -151,6 +151,22 @@ def _dwconv(v, taps, dtype=None):
     """Depthwise 6-tap VALID correlation on (B, T, C); see DWCONV_BACKEND."""
     if DWCONV_BACKEND == "shift":
         return _dwconv_shift(v, taps)
+    if DWCONV_BACKEND == "dense":
+        # taps ⊗ I as a DENSE (k, C, C) conv: the MXU pays the structural
+        # zeros (~1.5 kFLOP/element — trivial at 134 TFLOP/s) and XLA keeps
+        # the one layout it uses for every other dense conv, instead of the
+        # batch-interleaved relayout it picks for feature_group_count=C
+        # (57% of the r3 bigvgan train profile in transpose copies).  The
+        # autodiff transpose also stays dense — no tiny-group pathology.
+        # bf16 inputs take one MXU pass (taps cast to bf16, same as the
+        # folded path); fp32 inputs keep HIGHEST for oracle exactness.
+        c = v.shape[-1]
+        w = jnp.asarray(np.asarray(taps, np.float32)[:, None, None] * np.eye(c, dtype=np.float32), v.dtype)
+        prec = lax.Precision.HIGHEST if v.dtype == jnp.float32 else lax.Precision.DEFAULT
+        return lax.conv_general_dilated(
+            v, w, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"), precision=prec,
+        )
     c = v.shape[-1]
     w = jnp.broadcast_to(jnp.asarray(taps, dtype or v.dtype)[:, None, None], (len(taps), 1, c))
     return lax.conv_general_dilated(
