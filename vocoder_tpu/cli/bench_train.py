@@ -64,7 +64,8 @@ def main(argv=None):
     if args.memory_stats:
         # AOT view of what the north-star model costs in HBM (VERDICT r2 #7):
         # argument (train-state) bytes + XLA temp/peak for each phase.
-        ma = g_phase.lower(state, batch).compile().memory_analysis()
+        compiled = g_phase.lower(state, batch).compile()
+        ma = compiled.memory_analysis()
         mem = {
             "g_phase": {
                 "argument_mb": round(getattr(ma, "argument_size_in_bytes", 0) / 2**20, 1),
@@ -73,6 +74,10 @@ def main(argv=None):
                 "peak_mb": round(getattr(ma, "peak_memory_in_bytes", 0) / 2**20, 1),
             }
         }
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and "flops" in ca:
+            mem["g_phase"]["tflops"] = round(float(ca["flops"]) / 1e12, 3)
         print(json.dumps({"metric": "memory_analysis", "model": args.model, **mem}), flush=True)
 
     state, gm, ac, fc = g_phase(state, batch)
