@@ -6,6 +6,8 @@ the P.862.1/P.862.2 logistic mappings (4.55 NB / 4.64 WB), monotonic
 degradation under additive noise, delay/scale invariance, and range bounds.
 """
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -83,6 +85,22 @@ def test_golden_scores_pinned(speechish):
     d = int(0.020 * sr)
     got["delay20ms_wb"] = pesq(x, np.concatenate([np.zeros(d, np.float32), x])[: len(x)], sr, "wb")
 
+    # NB-mode points (r4, VERDICT r3 #7): same fixture resampled to 8 kHz.
+    # Clean pins the P.862.1 identity fixed point (4.55); the noise points
+    # track the published NB operating region (~4.0 @30 dB, ~2.5 @20, ~1.9
+    # @10) after the r4 filter-then-level-align fix — mid-SNR values sit a
+    # few tenths low because the fixture's 220 Hz partial falls partly below
+    # the IRS receive passband.
+    from vocoder_tpu.data.resample import resample
+
+    x8 = resample(x, sr, 8000).astype(np.float32)
+    sig_p8 = float(np.mean(x8**2))
+    nrng8 = np.random.default_rng(1)
+    got["clean_nb"] = pesq(x8, x8, 8000, "nb")
+    for snr in (30, 20, 10):
+        noise = nrng8.standard_normal(len(x8)) * np.sqrt(sig_p8 * 10 ** (-snr / 10))
+        got[f"snr{snr}_nb"] = pesq(x8, (x8 + noise).astype(np.float32), 8000, "nb")
+
     golden = {
         "clean_wb": 4.6439,
         "snr40_wb": 4.4961,
@@ -92,6 +110,10 @@ def test_golden_scores_pinned(speechish):
         "snr0_wb": 1.6346,
         "clip40_wb": 3.5899,
         "delay20ms_wb": 4.6439,
+        "clean_nb": 4.5486,
+        "snr30_nb": 3.8605,
+        "snr20_nb": 2.1394,
+        "snr10_nb": 1.7266,
     }
     for k, want in golden.items():
         assert got[k] == pytest.approx(want, abs=2e-3), (k, got[k], want)
@@ -150,10 +172,87 @@ def test_segment_delay_bounded_by_max_shift():
     deg = np.zeros(sr * 2, np.float32)
     far = sr  # 1 s >> 50 ms
     deg[far : far + len(ref_seg)] = ref_seg
-    d = P._segment_delay(ref_seg, deg, start=0, max_shift=max_shift)
+    d, ncc = P._segment_delay(ref_seg, deg, start=0, max_shift=max_shift)
     assert abs(d) <= max_shift
-    # And a true in-window delay is still found exactly.
+    assert ncc < 0.5  # and the confidence correctly reports a bad match
+    # And a true in-window delay is still found exactly, with high confidence.
     deg2 = np.zeros(sr * 2, np.float32)
     true_d = 300
     deg2[true_d : true_d + len(ref_seg)] = ref_seg
-    assert P._segment_delay(ref_seg, deg2, start=0, max_shift=max_shift) == true_d
+    d2, ncc2 = P._segment_delay(ref_seg, deg2, start=0, max_shift=max_shift)
+    assert d2 == true_d
+    assert ncc2 > 0.9
+
+
+def test_utterance_align_recovers_beyond_50ms(speechish):
+    """VERDICT r3 #7: per-utterance delays beyond the +-50 ms fine-search
+    bound are recovered by the iterative bound-widening re-search (up to
+    +-400 ms), instead of being silently mis-scored."""
+    import vocoder_tpu.pesq_native as P
+
+    x, sr = speechish
+    x = np.asarray(x, np.float64)
+    spans = P._split_utterances(x, sr)
+    assert len(spans) >= 2
+    deg = x.copy()
+    delays = [-int(0.080 * sr), int(0.070 * sr)]  # both outside +-50 ms
+    for i, (s, e) in enumerate(spans):
+        d = delays[i % len(delays)]
+        # keep the true (shifted) source content fully inside the signal, so
+        # recovery is possible at all — spans that read past the edges test
+        # zero-padding, not alignment
+        assert 0 <= s - d and e - d <= len(x), (s, e, d)
+        deg[s:e] = x[s - d : e - d]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # recovery must NOT warn
+        aligned = P._utterance_align(x, deg, sr)
+    # A piecewise shift destroys one delay's worth of content per span edge
+    # (~80 ms of a ~2 s span), so unlike the 12 ms case exact recovery is
+    # impossible; require the bulk of the error gone plus a real raw-score
+    # improvement.
+    assert np.mean((aligned - x) ** 2) < 0.2 * np.mean((deg - x) ** 2)
+    ref_f = P._level_align(P._highpass(x - x.mean(), 100.0, sr), sr)
+    deg_f = P._level_align(P._highpass(deg - deg.mean(), 100.0, sr), sr)
+    raw_unaligned = P._mos_raw(ref_f, deg_f, sr)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        realigned = P._utterance_align(ref_f, deg_f, sr)
+    raw_aligned = P._mos_raw(ref_f, realigned, sr)
+    assert raw_aligned > raw_unaligned + 0.2, (raw_unaligned, raw_aligned)
+
+
+def test_utterance_align_warns_beyond_cap():
+    """Delays beyond the +-400 ms widening cap cannot be recovered; when the
+    utterance's true content demonstrably exists elsewhere in the degraded
+    signal, the refinement must warn loudly instead of silently mis-scoring.
+    Noise-burst utterances (no tone-period self-similarity) shifted globally
+    by 600 ms: the in-cap searches find nothing, the whole-signal probe finds
+    the exact content at +600 ms."""
+    import vocoder_tpu.pesq_native as P
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    x = np.zeros(4 * sr)
+    x[sr // 2 : sr + sr // 2] = 0.5 * rng.standard_normal(sr)
+    x[2 * sr : 3 * sr] = 0.5 * rng.standard_normal(sr)
+    d = int(0.600 * sr)  # 600 ms >> the 400 ms cap
+    deg = np.zeros_like(x)
+    deg[d:] = x[:-d]
+    assert len(P._split_utterances(x, sr)) >= 2
+    with pytest.warns(RuntimeWarning, match="displaced by .* beyond"):
+        P._utterance_align(x, deg, sr)
+
+
+def test_utterance_align_silent_on_uncorrelated_degradation(speechish):
+    """A degraded signal that simply does not correlate with the reference
+    (e.g. an untrained GAN's output during validation) is not an alignment
+    failure — it must score what it is, with NO RuntimeWarning spam."""
+    import vocoder_tpu.pesq_native as P
+
+    x, sr = speechish
+    x = np.asarray(x, np.float64)
+    deg = 0.3 * np.random.default_rng(7).standard_normal(len(x))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        P._utterance_align(x, deg, sr)

@@ -372,3 +372,36 @@ def test_bench_scaling_harness_runs():
     assert len(results) == 2
     assert results[0]["data_parallel"] == 1 and results[1]["data_parallel"] == 2
     assert all(r["audio_s_per_s"] > 0 for r in results)
+
+
+@pytest.mark.parametrize("name", ["hifigan", "bigvgan"])
+def test_model_parallel_inference_matches_single_device(name, devices):
+    """r4 (VERDICT r3 #9): weight-norm-FOLDED generator params sharded with
+    fold_weight_norm_specs(param_specs) produce the same waveform under a
+    model=2 mesh as the single-device forward — the cli/infer.py
+    --model-parallel path."""
+    from vocoder_tpu import nn
+    from vocoder_tpu.models.registry import get_generator
+    from vocoder_tpu.parallel.mesh import train_state_specs
+
+    task = _upsampler_task(name)
+    gen = get_generator(name)
+    params = nn.fold_weight_norm(gen.init(jax.random.key(0), task.generator))
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((2, task.num_mels, 16)), jnp.float32)
+
+    @jax.jit
+    def synth(p, m):
+        return gen.apply(p, m, task.generator)
+
+    ref = np.asarray(synth(params, mel))
+
+    mesh = make_mesh(data=1, model=2, devices=devices[:2])
+    gen_specs = nn.fold_weight_norm_specs(gen.param_specs(task.generator))
+    sharded = jax.tree.map(jax.device_put, params, train_state_specs(params, mesh, gen_specs))
+    # at least one folded wide-stage weight must actually be model-sharded
+    shardings = jax.tree.leaves(jax.tree.map(lambda l: l.sharding.spec, sharded))
+    assert any("model" in jax.tree.leaves(tuple(s)) for s in shardings), name
+    with mesh:
+        got = np.asarray(synth(sharded, mel))
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -137,6 +137,26 @@ def test_infer_cli_roundtrip(wav_dir, tmp_path):
             a, _ = read_wav(f)
             b, _ = read_wav(out_b / f.name)
             np.testing.assert_array_equal(a, b)
+
+        # --model-parallel 2 (r4): sharded generator, same waveforms.  The
+        # tiny model's stages all replicate under the explicit specs, so this
+        # checks the CLI wiring (mesh context, spec folding, device_put);
+        # real channel sharding is covered by
+        # test_sharding.py::test_model_parallel_inference_matches_single_device.
+        out_mp = tmp_path / "out_mp"
+        infer_cli.main(
+            [
+                "--model", "hifigan",
+                "--ckpt", str(workdir / "checkpoints"),
+                "--input", str(wav_dir),
+                "--output", str(out_mp),
+                "--model-parallel", "2",
+            ]
+        )
+        for f in outs:
+            a, _ = read_wav(f)
+            b, _ = read_wav(out_mp / f.name)
+            np.testing.assert_allclose(a, b, atol=1e-6)
     finally:
         infer_cli.build_task_config = orig
 

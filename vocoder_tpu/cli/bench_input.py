@@ -32,10 +32,19 @@ def _make_corpus(root: Path, n_files: int, seconds: float, sr: int, fmt: str = "
     for i in range(n_files):
         t = np.arange(int(sr * seconds)) / sr
         wave = 0.4 * np.sin(2 * np.pi * (120 + 17 * i) * t) + 0.02 * rng.standard_normal(t.shape)
+        wave = wave.astype(np.float32)
         if fmt == "flac":
-            write_flac(root / f"clip{i:03d}.flac", wave.astype(np.float32), sr)
+            write_flac(root / f"clip{i:03d}.flac", wave, sr)
+        elif fmt == "mp3":
+            from vocoder_tpu.data.mp3 import write_mp3
+
+            write_mp3(root / f"clip{i:03d}.mp3", wave, sr)
+        elif fmt == "ogg":
+            from vocoder_tpu.data.ogg import write_ogg
+
+            write_ogg(root / f"clip{i:03d}.ogg", wave, sr)
         else:
-            write_wav(root / f"clip{i:03d}.wav", wave.astype(np.float32), sr)
+            write_wav(root / f"clip{i:03d}.wav", wave, sr)
 
 
 def main(argv=None):
@@ -47,8 +56,9 @@ def main(argv=None):
     ap.add_argument("--hop", type=int, default=512)
     ap.add_argument("--sr", type=int, default=44100)
     ap.add_argument("--batches", type=int, default=30)
-    ap.add_argument("--format", default="wav", choices=("wav", "flac"),
-                    help="synthetic-corpus codec (flac = native C++ decode path)")
+    ap.add_argument("--format", default="wav", choices=("wav", "flac", "mp3", "ogg"),
+                    help="synthetic-corpus codec (flac = native C++ decode path; "
+                    "mp3/ogg = system-library ctypes decode paths)")
     args = ap.parse_args(argv)
 
     from vocoder_tpu.data import transforms as T

@@ -167,12 +167,44 @@ def main(argv=None):
         help="synthesise N files per device call (length-sorted, padded to a "
         "64-frame bucket, EXACT via per-layer length masking; hifigan/vocos/bigvgan)",
     )
+    ap.add_argument(
+        "--model-parallel",
+        type=int,
+        default=1,
+        help="shard the generator over N devices (channel/Megatron tensor "
+        "parallelism via the model's param_specs + activation constraints); "
+        "for generators too large for one chip's HBM",
+    )
     args = ap.parse_args(argv)
 
     task = build_task_config(args.model, args.resolution)
     gen = get_generator(task.generator_name)
     params = load_generator_params(args.ckpt, task)
 
+    if args.model_parallel > 1:
+        from vocoder_tpu.parallel import make_mesh
+        from vocoder_tpu.parallel.mesh import train_state_specs
+
+        if len(jax.devices()) < args.model_parallel:
+            raise SystemExit(
+                f"--model-parallel {args.model_parallel} needs that many devices; "
+                f"have {len(jax.devices())}"
+            )
+        mesh = make_mesh(data=1, model=args.model_parallel, devices=jax.devices()[: args.model_parallel])
+        gen_specs = gen.param_specs(task.generator) if gen.param_specs is not None else None
+        if gen_specs is not None:
+            gen_specs = nn.fold_weight_norm_specs(gen_specs)
+        params = jax.tree.map(jax.device_put, params, train_state_specs(params, mesh, gen_specs))
+        log(f"model-parallel inference: {args.model_parallel}-way tensor sharding on {mesh.shape}")
+        # The ambient mesh binds the models' activation sharding constraints
+        # at trace time (parallel/mesh.py::constrain), so every jit below
+        # compiles as a sharded GSPMD program.
+        with mesh:
+            return _synthesis_main(args, task, gen, params)
+    return _synthesis_main(args, task, gen, params)
+
+
+def _synthesis_main(args, task, gen, params):
     # Params are ARGUMENTS, not closure constants: giant baked-in weight
     # constants (e.g. vocos-huge's 1.3 GB) can wedge the XLA compiler.
     @jax.jit

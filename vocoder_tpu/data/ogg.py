@@ -200,7 +200,13 @@ def read_ogg(path: str | Path) -> tuple[np.ndarray, int]:
             # dereferencing pcm with the first link's channel count (fewer
             # channels would read an invalid pointer — a crash, not an error).
             li = vf.ov_info(ovf, bitstream.value)
-            if li and (int(li.contents.channels) != channels or int(li.contents.rate) != rate):
+            if not li:
+                # A NULL info for the current link means we cannot verify the
+                # format; dereferencing pcm with the first link's channel
+                # count would be the exact invalid-pointer crash the guard
+                # exists to prevent — fail loudly instead.
+                raise ValueError(f"{path}: ov_info failed for bitstream link {bitstream.value}")
+            if int(li.contents.channels) != channels or int(li.contents.rate) != rate:
                 raise ValueError(
                     f"{path}: chained Ogg stream changes format mid-file "
                     f"({channels}ch@{rate} -> {int(li.contents.channels)}ch@{int(li.contents.rate)}); unsupported"

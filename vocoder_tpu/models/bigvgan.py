@@ -80,6 +80,11 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
 #   "compose"   — up(2x) FIR -> snake -> down(2x) FIR (the reference
 #                 alias_free_torch structure): 677 ms
 AA_BACKEND = _os.environ.get("VOCODER_AA_BACKEND", "auto")
+if AA_BACKEND not in ("auto", "pallas", "polyphase", "poly4", "compose"):
+    raise ValueError(
+        f"VOCODER_AA_BACKEND={AA_BACKEND!r} is not a known backend; expected "
+        "one of 'auto' (default), 'pallas', 'polyphase', 'poly4', 'compose'"
+    )
 
 # Small-channel tail stages keep activations time-folded (B, T/r, r*C) with
 # r*C = 128 — see models/hifigan.py TAIL_FOLD for the rationale (XLA pads a
@@ -104,6 +109,11 @@ TAIL_FOLD = "auto"  # "auto" | "on" | "off"
 # Default from $VOCODER_AA_FOLDED_BACKEND so the TPU bench can A/B it in one
 # command; stays "xla" until the pallas path measures faster on hardware.
 AA_FOLDED_BACKEND = _os.environ.get("VOCODER_AA_FOLDED_BACKEND", "xla")  # "xla" | "pallas"
+if AA_FOLDED_BACKEND not in ("xla", "pallas"):
+    raise ValueError(
+        f"VOCODER_AA_FOLDED_BACKEND={AA_FOLDED_BACKEND!r} is not a known "
+        "backend; expected 'xla' (default) or 'pallas'"
+    )
 
 
 def _fold_active() -> bool:

@@ -108,6 +108,23 @@ def fold_weight_norm(params: Params) -> Params:
     return params
 
 
+def fold_weight_norm_specs(specs):
+    """Apply fold_weight_norm's structural change to a PartitionSpec tree:
+    {"v", "g"} collapses to {"w"} carrying v's spec (the folded weight
+    w = v * g/||v|| has v's shape, and every tp_specs builder gives v the
+    materialised-weight sharding).  Keeps a param_specs tree usable for
+    weight-norm-folded inference params (cli/infer.py --model-parallel)."""
+    if isinstance(specs, dict):
+        if "v" in specs and "g" in specs:
+            out = {k: v for k, v in specs.items() if k not in ("v", "g")}
+            out["w"] = specs["v"]
+            return out
+        return {k: fold_weight_norm_specs(v) for k, v in specs.items()}
+    if isinstance(specs, (list, tuple)):
+        return type(specs)(fold_weight_norm_specs(v) for v in specs)
+    return specs
+
+
 # ---------------------------------------------------------------------------
 # Conv layers.  Canonical weight layouts:
 #   conv1d            : (K, I/groups, O)          [HIO]

@@ -134,7 +134,12 @@ def polyphase_taps():
 #             as an A/B backend and a recorded negative result (BENCH.md).
 import os as _os
 
-DWCONV_BACKEND = _os.environ.get("VOCODER_DWCONV", "conv")  # "conv" | "shift"
+DWCONV_BACKEND = _os.environ.get("VOCODER_DWCONV", "conv")  # "conv" | "shift" | "dense"
+if DWCONV_BACKEND not in ("conv", "shift", "dense"):
+    raise ValueError(
+        f"VOCODER_DWCONV={DWCONV_BACKEND!r} is not a known backend; "
+        "expected one of 'conv' (default), 'shift', 'dense'"
+    )
 
 
 def _dwconv_shift(v, taps):
@@ -147,7 +152,7 @@ def _dwconv_shift(v, taps):
     return acc.astype(v.dtype)
 
 
-def _dwconv(v, taps, dtype=None):
+def _dwconv(v, taps):
     """Depthwise 6-tap VALID correlation on (B, T, C); see DWCONV_BACKEND."""
     if DWCONV_BACKEND == "shift":
         return _dwconv_shift(v, taps)
@@ -168,7 +173,7 @@ def _dwconv(v, taps, dtype=None):
             dimension_numbers=("NHC", "HIO", "NHC"), precision=prec,
         )
     c = v.shape[-1]
-    w = jnp.broadcast_to(jnp.asarray(taps, dtype or v.dtype)[:, None, None], (len(taps), 1, c))
+    w = jnp.broadcast_to(jnp.asarray(taps, v.dtype)[:, None, None], (len(taps), 1, c))
     return lax.conv_general_dilated(
         v, w, window_strides=(1,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c,
@@ -347,16 +352,16 @@ def _dwconv_folded(vf: jnp.ndarray, taps, r: int, padding: int, c: int) -> jnp.n
     """Depthwise correlation y[t] = sum_tau taps[tau] * v[t + tau - padding]
     evaluated directly on a time-folded (B, T/r, r*C) array (zero padding).
 
-    "shift" backend (default): the taps are channel-shared scalars, so each
-    output phase block j is a sum of k row-shifted, lane-block-selected FMAs
-    — pure elementwise work that fuses with the surrounding snake and never
-    materialises a folded weight (the r3 inference profile showed the
-    in-jit-built (Q, rC, rC) weights costing ms-scale async copies) nor pays
-    structural-zero MXU FLOPs.
+    "conv" backend (the default; "dense" takes the same path here): expand
+    the per-fold-phase tap matrix with a channel identity into a dense folded
+    conv — heavy in structural zeros, but those are nearly free on the MXU
+    and XLA keeps its one dense-conv layout (measured fastest, BENCH.md).
 
-    "conv" backend: expand the per-fold-phase tap matrix with a channel
-    identity into a dense folded conv — heavy in structural zeros, kept for
-    A/B.
+    "shift" backend: the taps are channel-shared scalars, so each output
+    phase block j is a sum of k row-shifted, lane-block-selected FMAs — pure
+    elementwise work that never materialises a folded weight nor pays
+    structural-zero MXU FLOPs.  Measured WORSE on v5e (the lane-block selects
+    are cross-lane shuffles the matmul form gets for free); kept for A/B.
     """
     from vocoder_tpu import nn
 

