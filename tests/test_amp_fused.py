@@ -1,0 +1,110 @@
+"""Fused AMP-stage Pallas kernel (ops/pallas/amp_block.py) parity vs the XLA
+folded pipeline, via the interpreter on the CPU test mesh.
+
+Reference semantics: mean over kernel-size blocks of the AMPBlock chain
+(reference bigvgan.py:138-252, 361-365) — the oracle here is the in-repo XLA
+path (models/bigvgan._amp_apply), itself parity-tested against torch
+(tests/test_bigvgan_parity.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vocoder_tpu.models import bigvgan
+from vocoder_tpu.models.bigvgan import BigVGANConfig, _amp_apply, _amp_init
+from vocoder_tpu.ops.pallas import amp_block
+
+
+def _stage(key, c, kernel_sizes, dilation_sizes, logscale=True):
+    cfg = BigVGANConfig(
+        hop_length=4,
+        upsample_rates=(2, 2),
+        upsample_kernel_sizes=(4, 4),
+        resblock_kernel_sizes=kernel_sizes,
+        resblock_dilation_sizes=dilation_sizes,
+        num_mels=8,
+        upsample_initial_channel=2 * c,
+        snake_logscale=logscale,
+    )
+    keys = jax.random.split(key, len(kernel_sizes))
+    blocks = [
+        _amp_init(k, c, ks, ds, cfg)
+        for k, ks, ds in zip(keys, kernel_sizes, dilation_sizes)
+    ]
+    return cfg, blocks
+
+
+def _oracle(blocks, xf, kernel_sizes, dilation_sizes, cfg, fold):
+    outs = [
+        _amp_apply(blocks[i], xf, kernel_sizes[i], dilation_sizes[i], cfg, False, fold, None)
+        for i in range(len(kernel_sizes))
+    ]
+    return sum(outs) / len(kernel_sizes)
+
+
+@pytest.mark.parametrize("fold", [1, 2, 8])
+def test_amp_stage_fused_matches_xla(fold):
+    kernel_sizes = (3, 5)
+    dilation_sizes = ((1, 2), (1, 3))
+    c = 128 // fold
+    cfg, blocks = _stage(jax.random.key(0), c, kernel_sizes, dilation_sizes)
+
+    q = 128  # folded rows; T = q * fold samples
+    rng = np.random.default_rng(fold)
+    xf = jnp.asarray(rng.standard_normal((2, q, 128)) * 0.5, jnp.float32)
+
+    assert amp_block.amp_stage_supported(xf, kernel_sizes, dilation_sizes, fold, interpret=True)
+    got = amp_block.amp_stage_fused(
+        blocks, xf, kernel_sizes, dilation_sizes, cfg.snake_logscale, fold, interpret=True
+    )
+    want = _oracle(blocks, xf, kernel_sizes, dilation_sizes, cfg, fold)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_amp_stage_fused_full_generator():
+    """Model integration: BigVGAN apply with the fused backend equals the XLA
+    backend end to end (folded tail forced on, interpreter kernel)."""
+    cfg = BigVGANConfig(
+        hop_length=16,
+        upsample_rates=(4, 4),
+        upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 3)),
+        num_mels=8,
+        upsample_initial_channel=64,
+    )
+    params = bigvgan.init(jax.random.key(1), cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 8, 256)), jnp.float32)
+
+    prev_fold, prev_backend, prev_interp = (
+        bigvgan.TAIL_FOLD,
+        bigvgan.AMP_BACKEND,
+        amp_block.INTERPRET,
+    )
+    try:
+        bigvgan.TAIL_FOLD = "on"
+        bigvgan.AMP_BACKEND = "xla"
+        want = bigvgan.apply(params, mel, cfg)
+        bigvgan.AMP_BACKEND = "fused"
+        amp_block.INTERPRET = True
+        got = bigvgan.apply(params, mel, cfg)
+    finally:
+        bigvgan.TAIL_FOLD, bigvgan.AMP_BACKEND, amp_block.INTERPRET = (
+            prev_fold,
+            prev_backend,
+            prev_interp,
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_amp_stage_unsupported_shapes_fall_back():
+    # wrong lane width
+    assert not amp_block.amp_stage_supported(
+        jnp.zeros((1, 128, 256)), (3,), ((1, 2),), 1, interpret=True
+    )
+    # too short for any tile
+    assert not amp_block.amp_stage_supported(
+        jnp.zeros((1, 16, 128)), (3,), ((1, 2),), 1, interpret=True
+    )

@@ -211,3 +211,41 @@ def test_upsample_rates_factorization():
         rates, kernels = upsample_rates_for_hop(hop)
         assert prod(rates) == hop, hop
         assert all(k == 2 * r for r, k in zip(rates, kernels)) or hop in (512, 256, 2048, 640)
+
+
+def test_infer_cli_restores_overridden_config(wav_dir, tmp_path):
+    """r4: a model trained with dotted task overrides (widths the preset
+    cannot express) must infer correctly — cli/infer.py overlays the
+    workdir's config.json onto the preset template."""
+    import dataclasses
+
+    import vocoder_tpu.cli.infer as infer_cli
+    from vocoder_tpu.train.trainer import train
+
+    workdir = tmp_path / "run"
+    cfg = _train_cfg(wav_dir, workdir, max_steps=1)
+    # halve the generator width — infer with the stock preset would fail to
+    # restore (param-tree shape mismatch) without the config.json overlay
+    cfg = dataclasses.replace(
+        cfg, task=cfg.task.replace(
+            generator=dataclasses.replace(cfg.task.generator, upsample_initial_channel=8)
+        )
+    )
+    train(cfg)
+
+    tiny = _train_cfg(wav_dir, tmp_path / "unused", max_steps=1).task  # UNMODIFIED preset
+    orig = infer_cli.build_task_config
+    infer_cli.build_task_config = lambda *a, **k: tiny
+    try:
+        out_dir = tmp_path / "out"
+        infer_cli.main(
+            [
+                "--model", "hifigan",
+                "--ckpt", str(workdir / "checkpoints"),
+                "--input", str(wav_dir / "c0.wav"),
+                "--output", str(out_dir),
+            ]
+        )
+        assert (out_dir / "c0.wav").exists()
+    finally:
+        infer_cli.build_task_config = orig

@@ -178,6 +178,26 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     task = build_task_config(args.model, args.resolution)
+    # If the checkpoint's training workdir recorded its config (trainer.py
+    # writes config.json), overlay it so dotted-override-trained models
+    # (e.g. reduced widths) infer with the EXACT trained architecture —
+    # the preset alone cannot express those.
+    ckpt_dir = Path(args.ckpt)
+    for cand in (ckpt_dir / "config.json", ckpt_dir.parent / "config.json"):
+        if ckpt_dir.is_dir() and cand.is_file():
+            import json
+
+            saved = json.loads(cand.read_text()).get("task", {})
+            if saved.get("generator_name", task.generator_name) != task.generator_name:
+                raise SystemExit(
+                    f"{cand} records generator {saved['generator_name']!r}; pass "
+                    f"--model accordingly (got {task.generator_name!r})"
+                )
+            from vocoder_tpu.config import overlay_task_config
+
+            task = overlay_task_config(task, saved)
+            log(f"task config restored from {cand}")
+            break
     gen = get_generator(task.generator_name)
     params = load_generator_params(args.ckpt, task)
 

@@ -386,3 +386,33 @@ def apply_overrides(cfg, overrides) -> Any:
         )
         node[parts[-1]] = _Leaf(_parse_value(raw))
     return _apply_tree(cfg, tree) if tree else cfg
+
+
+def _tuplify(v):
+    if isinstance(v, list):
+        return tuple(_tuplify(x) for x in v)
+    return v
+
+
+def overlay_task_config(template, d: dict):
+    """Recursively `dataclasses.replace` a task-config template with values
+    from a config.json-style asdict() tree (lists coerced back to tuples,
+    keys unknown to the current schema ignored — forward compatible).
+
+    Used by cli/infer.py to reproduce the EXACT task config a checkpoint was
+    trained with (including dotted overrides the preset alone cannot express);
+    the --model preset supplies the template so nested generator/discriminator
+    config classes are recovered by type."""
+    import dataclasses as _dc
+
+    kw = {}
+    for f in _dc.fields(type(template)):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        cur = getattr(template, f.name)
+        if _dc.is_dataclass(cur) and isinstance(v, dict):
+            kw[f.name] = overlay_task_config(cur, v)
+        else:
+            kw[f.name] = _tuplify(v)
+    return _dc.replace(template, **kw)

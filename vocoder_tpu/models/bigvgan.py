@@ -115,6 +115,18 @@ if AA_FOLDED_BACKEND not in ("xla", "pallas"):
         "backend; expected 'xla' (default) or 'pallas'"
     )
 
+# Whole-AMP-STAGE fused Pallas kernel (ops/pallas/amp_block.py): all resblock
+# kernel sizes, dilations, residuals and the 1/n_k average in ONE HBM pass
+# per stage, inference only.  "fused" enables it for every supported stage
+# (r*C == 128 lane-dense, i.e. every stage after the first in the base
+# config); "xla" keeps the per-op folded pipeline.
+AMP_BACKEND = _os.environ.get("VOCODER_AMP_BACKEND", "fused")  # "fused" | "xla"
+if AMP_BACKEND not in ("fused", "xla"):
+    raise ValueError(
+        f"VOCODER_AMP_BACKEND={AMP_BACKEND!r} is not a known backend; "
+        "expected 'fused' (default) or 'xla'"
+    )
+
 
 def _fold_active() -> bool:
     if TAIL_FOLD == "off":
@@ -353,11 +365,30 @@ def apply(
                 noise = nn.conv1d(nc, template_t)
             x = x + (noise.reshape(b, t_cur // r, r * c_out) if r > 1 else noise)
             x = _len_mask(x, lens)
-        outs = [
-            amp(params["resblocks"][i * n_k + j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], cfg, training, r, lens)
-            for j in range(n_k)
-        ]
-        x = sum(outs) / n_k
+        fused_done = False
+        if AMP_BACKEND == "fused" and not training and lens is None:
+            from vocoder_tpu.ops.pallas import amp_block
+
+            if amp_block.amp_stage_supported(
+                x, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes, r,
+                interpret=amp_block.INTERPRET,
+            ):
+                x = amp_block.amp_stage_fused(
+                    [params["resblocks"][i * n_k + j] for j in range(n_k)],
+                    x,
+                    cfg.resblock_kernel_sizes,
+                    cfg.resblock_dilation_sizes,
+                    cfg.snake_logscale,
+                    r,
+                    interpret=amp_block.INTERPRET,
+                )
+                fused_done = True
+        if not fused_done:
+            outs = [
+                amp(params["resblocks"][i * n_k + j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], cfg, training, r, lens)
+                for j in range(n_k)
+            ]
+            x = sum(outs) / n_k
 
     x = _aa_snake(params["post_act"], x, True, training, r, lens)
     if r > 1:
