@@ -367,3 +367,118 @@ void scale_inplace(float* x, int64_t n, float s) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Ogg/Vorbis decode via libvorbisfile (dlopen'd at first use, so the library
+// stays dependency-free to BUILD; decode availability mirrors the ctypes
+// binding in vocoder_tpu/data/ogg.py).  The whole pull loop runs here in one
+// foreign call — the Python chunk loop held the GIL between ~170 tiny
+// ov_read_float calls per clip, which serialised the thread-pool workers
+// (measured: ogg 11.7 batch/s at 1 worker, 9.9 at 4; see BENCH.md r4).
+// ---------------------------------------------------------------------------
+
+#include <dlfcn.h>
+
+namespace {
+
+// First three fields of vorbis_info (stable public ABI).
+struct VorbisInfoABI {
+  int version;
+  int channels;
+  long rate;
+};
+
+struct VorbisFns {
+  int (*ov_fopen)(const char*, void*);
+  VorbisInfoABI* (*ov_info)(void*, int);
+  long (*ov_read_float)(void*, float***, int, int*);
+  int64_t (*ov_pcm_total)(void*, int);
+  long (*ov_streams)(void*);
+  int (*ov_clear)(void*);
+};
+
+const VorbisFns* vorbis_fns() {
+  static VorbisFns fns;
+  static bool ok = []() {
+    void* h = dlopen("libvorbisfile.so.3", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libvorbisfile.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return false;
+    fns.ov_fopen = (int (*)(const char*, void*))dlsym(h, "ov_fopen");
+    fns.ov_info = (VorbisInfoABI * (*)(void*, int)) dlsym(h, "ov_info");
+    fns.ov_read_float = (long (*)(void*, float***, int, int*))dlsym(h, "ov_read_float");
+    fns.ov_pcm_total = (int64_t(*)(void*, int))dlsym(h, "ov_pcm_total");
+    fns.ov_streams = (long (*)(void*))dlsym(h, "ov_streams");
+    fns.ov_clear = (int (*)(void*))dlsym(h, "ov_clear");
+    return fns.ov_fopen && fns.ov_info && fns.ov_read_float && fns.ov_pcm_total &&
+           fns.ov_streams && fns.ov_clear;
+  }();
+  return ok ? &fns : nullptr;
+}
+
+// OggVorbis_File is ~720 bytes on every known ABI; over-allocate generously.
+constexpr int kOvfBytes = 4096;
+
+}  // namespace
+
+extern "C" {
+
+// info[0..2] = {channels, rate, total_frames}.  Returns 0 on success,
+// -1 when libvorbisfile is unavailable or the file is not decodable,
+// -2 when the total length is unknown (caller falls back to the pull loop).
+int ogg_probe(const char* path, int64_t* info) {
+  const VorbisFns* v = vorbis_fns();
+  if (!v) return -1;
+  alignas(16) char ovf[kOvfBytes];
+  if (v->ov_fopen(path, ovf) != 0) return -1;
+  VorbisInfoABI* vi = v->ov_info(ovf, -1);
+  if (!vi || vi->channels <= 0 || vi->rate <= 0) {
+    v->ov_clear(ovf);
+    return -1;
+  }
+  // Chained (multi-link) files: ov_pcm_total(-1) under-reports here and a
+  // later link may change format; hand those to the ctypes pull loop, which
+  // decodes across links and raises on format changes.
+  if (v->ov_streams(ovf) != 1) {
+    v->ov_clear(ovf);
+    return -2;
+  }
+  int64_t total = v->ov_pcm_total(ovf, -1);
+  info[0] = vi->channels;
+  info[1] = vi->rate;
+  info[2] = total;
+  v->ov_clear(ovf);
+  return total > 0 ? 0 : -2;
+}
+
+// Decode the whole file into out (channels x total, channel-major).  Returns
+// frames decoded; -1 means "hand this file to the Python pull loop" — on ANY
+// anomaly (decode hole, link/format change, data past the declared total) the
+// native path defers instead of guessing, so its error semantics are exactly
+// the pull loop's (which raises on corrupt/chained-format streams).
+int64_t ogg_decode_file(const char* path, float* out, int channels, int64_t total) {
+  const VorbisFns* v = vorbis_fns();
+  if (!v) return -1;
+  alignas(16) char ovf[kOvfBytes];
+  if (v->ov_fopen(path, ovf) != 0) return -1;
+  int64_t pos = 0;
+  int bitstream = 0;
+  for (;;) {
+    float** pcm = nullptr;
+    long n = v->ov_read_float(ovf, &pcm, 4096, &bitstream);
+    if (n == 0) {
+      break;
+    }
+    if (n < 0 || bitstream != 0 || pos + n > total) {
+      // hole / chained link / more data than the probe declared
+      v->ov_clear(ovf);
+      return -1;
+    }
+    for (int c = 0; c < channels; ++c)
+      std::memcpy(out + (int64_t)c * total + pos, pcm[c], (size_t)n * sizeof(float));
+    pos += n;
+  }
+  v->ov_clear(ovf);
+  return pos;
+}
+
+}  // extern "C"

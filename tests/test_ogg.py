@@ -89,3 +89,29 @@ def test_chained_ogg_with_format_change_errors_not_crashes(tmp_path):
     (tmp_path / "chained.ogg").write_bytes(chained)
     with pytest.raises(ValueError, match="chained"):
         read_ogg(tmp_path / "chained.ogg")
+
+
+def test_native_ogg_decode_matches_pull_loop(tmp_path):
+    """r4: the C++ whole-file decode (native/audio_kernels.cc ogg_decode_file)
+    must produce exactly the ctypes pull loop's samples."""
+    from vocoder_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native kernels unavailable")
+    sr = 16000
+    stereo = np.stack([_tone(sr, 0.7), _tone(sr, 0.7, freqs=(250.0,), amps=(0.4,))])
+    write_ogg(tmp_path / "x.ogg", stereo, sr)
+    got = native.ogg_decode(tmp_path / "x.ogg")
+    assert got is not None, "fast path should handle a plain single-link file"
+    audio_n, sr_n = got
+    # force the pull loop by bypassing the native branch
+    import vocoder_tpu.data.ogg as oggmod
+
+    orig = native.ogg_decode
+    native.ogg_decode = lambda p: None
+    try:
+        audio_p, sr_p = oggmod.read_ogg(tmp_path / "x.ogg")
+    finally:
+        native.ogg_decode = orig
+    assert sr_n == sr_p
+    np.testing.assert_array_equal(audio_n, audio_p)

@@ -69,6 +69,15 @@ def _load():
             ctypes.c_void_p,
         ]
         lib.flac_decode.restype = ctypes.c_int64
+        lib.ogg_probe.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.ogg_probe.restype = ctypes.c_int
+        lib.ogg_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int64,
+        ]
+        lib.ogg_decode_file.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -129,6 +138,36 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int] | None:
     if got < total:
         raise ValueError(f"truncated stream — {got} of {total} declared samples")
     return out, sr
+
+
+def ogg_decode(path) -> tuple[np.ndarray, int] | None:
+    """Ogg/Vorbis file -> (float32 (channels, T), sample_rate) via the C++
+    decode loop (one GIL-released foreign call for the whole file — the
+    Python chunk loop serialised thread-pool workers, BENCH.md r4).
+
+    Returns None whenever the fast path cannot handle the file — library or
+    libvorbisfile unavailable, undecodable, unknown/implausible length,
+    chained, holey — so the ctypes pull loop re-decodes and raises ITS
+    canonical errors: the native path is a pure optimisation with no error-
+    semantics drift.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    p = str(path).encode()
+    info = np.zeros(3, np.int64)
+    if lib.ogg_probe(p, info.ctypes.data) != 0:
+        return None
+    channels, rate, total = (int(v) for v in info)
+    if total * channels * 4 > (8 << 30):
+        return None
+    out = np.empty((channels, total), np.float32)
+    got = lib.ogg_decode_file(p, out.ctypes.data, channels, total)
+    if got <= 0:
+        # Any anomaly (hole, chained link, over-long stream, no frames): the
+        # pull loop re-decodes and raises its canonical errors.
+        return None
+    return out[:, :got], rate
 
 
 def resample_native(x: np.ndarray, orig_freq: int, new_freq: int, kernels: np.ndarray, width: int) -> np.ndarray | None:

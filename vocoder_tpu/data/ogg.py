@@ -171,7 +171,20 @@ def read_ogg(path: str | Path) -> tuple[np.ndarray, int]:
 
     Raises ValueError on corrupt streams (counted-fallback semantics, like
     FLAC/mp3) and RuntimeError when libvorbisfile is missing.
+
+    Hot path is the C++ whole-file decode loop (native/audio_kernels.cc
+    ogg_decode_file): one GIL-released foreign call per file, so thread-pool
+    workers scale — the per-chunk ctypes pull loop below (the fallback)
+    measured 11.7 batch/s at 1 worker and REGRESSED to 9.9 at 4 (BENCH.md
+    r4, batch 8 synthetic corpus) because the Python between tiny
+    ov_read_float calls serialised on the GIL.
     """
+    from vocoder_tpu.data import native
+
+    got = native.ogg_decode(path)
+    if got is not None:
+        return got
+
     vf, _, _, _ = _libs()
     if vf is None:
         raise RuntimeError("libvorbisfile is not available; cannot decode ogg")

@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vocoder_tpu.ops.antialias import polyphase_taps
-from vocoder_tpu.ops.pallas.aa_snake import _lane_rolls, snake
+from vocoder_tpu.ops.pallas.aa_snake import snake
 
 
 # Tests flip this to run the kernel through the Pallas interpreter on CPU
@@ -82,15 +82,23 @@ def _conv_shifts(k: int, d: int, pad: int, f: int) -> tuple:
     return tuple(range(qmin, qmax + 1))
 
 
+def _fir_shifts(f: int) -> tuple[tuple, tuple]:
+    """(up_shifts, down_shifts) for the aa-snake FIRs lowered as folded
+    matmuls (f > 1): branch = 6-tap conv at padding 5, recombination = 6-tap
+    conv at padding 0 (see polyphase_taps)."""
+    return _conv_shifts(6, 1, 5, f), _conv_shifts(6, 1, 0, f)
+
+
 def _aa_extra(f: int) -> tuple[int, int]:
     """(left, right) row shrink of one interior aa-snake at fold f.
 
-    Branch taps read samples [-5, 0] of the input (left reach ceil(5/f) rows,
-    never above the output row); recombination reads samples [0, 5] of the
-    branches (right reach a//f rows, +1 when the lane phase overflows)."""
-    left = _ceil(5, f)
-    right = max(a // f + (1 if a % f else 0) for a in range(6))
-    return left, right
+    f > 1: both FIRs run as folded matmuls (their _fold_index shift ranges).
+    f == 1: branch taps read samples [-5, 0] (row-shift FMAs), recombination
+    reads samples [0, 5]."""
+    if f > 1:
+        up, dn = _fir_shifts(f)
+        return -min(up) - min(dn), max(up) + max(dn)
+    return 5, 5
 
 
 def _block_shrink(k: int, dilations: tuple, f: int) -> tuple[int, int]:
@@ -146,11 +154,58 @@ def _fold_conv_weight(p: dict, k: int, d: int, pad: int, f: int, c: int, dtype):
 
 
 def _fold_ab(act: dict, f: int, logscale: bool):
+    """(2, 2fc)-lane alpha/beta: tiled over the fold AND the two polyphase
+    branches (the mm FIR path computes snake on the combined [se | so] lanes;
+    the f == 1 tap path slices the first fc lanes)."""
     alpha = act["alpha"]
     beta = act.get("beta", act["alpha"])
     if logscale:
         alpha, beta = jnp.exp(alpha), jnp.exp(beta)
-    return jnp.stack([jnp.tile(alpha, f), jnp.tile(beta, f)]).astype(jnp.float32)
+    return jnp.stack([jnp.tile(alpha, 2 * f), jnp.tile(beta, 2 * f)]).astype(jnp.float32)
+
+
+def _fir_weights(f: int, c: int, dtype):
+    """Global folded FIR matmul weights shared by every aa-snake at fold f:
+
+    w_up (Q_up, fc, 2fc): both polyphase branches in one matmul — lanes
+    [0, fc) = 2*se (the snake's input gain folded into the taps), [fc, 2fc)
+    = 2*so.  w_dn (Q_dn, 2fc, fc): the recombination z = g_o*se + g_e*so.
+    """
+    import numpy as np
+
+    f_e, f_o, g_o, g_e = polyphase_taps()
+    eye = np.eye(c, dtype=np.float64)
+    w_up = np.zeros((6, c, 2 * c))
+    w_up[:, :, :c] = 2.0 * f_e[:, None, None] * eye
+    w_up[:, :, c:] = 2.0 * f_o[:, None, None] * eye
+    w_dn = np.zeros((6, 2 * c, c))
+    w_dn[:, :c, :] = g_o[:, None, None] * eye
+    w_dn[:, c:, :] = g_e[:, None, None] * eye
+
+    def fold(w, pad):
+        from vocoder_tpu import nn
+
+        k, cin, cout = w.shape
+        if f == 1:
+            return jnp.asarray(w, dtype)
+        idx, mask, _, _ = nn._fold_index(k, f, pad, 1)
+        wf = jnp.asarray(w, jnp.float32)[jnp.asarray(idx)] * jnp.asarray(mask)[..., None, None]
+        wf = jnp.transpose(wf, (0, 1, 3, 2, 4)).reshape(idx.shape[0], f * cin, f * cout)
+        return wf.astype(dtype)
+
+    # Fold phases live on the MINOR side of each lane block: the folded array
+    # is (..., r*C) with time phase major — but the [se|so] branch split is on
+    # the CHANNEL-BLOCK level, so fold each branch half separately and concat.
+    if f == 1:
+        return fold(w_up, 5), fold(w_dn, 0)
+    up_e = fold(w_up[:, :, :c], 5)  # (Q, fc, fc)
+    up_o = fold(w_up[:, :, c:], 5)
+    dn_e = fold(w_dn[:, :c, :], 0)
+    dn_o = fold(w_dn[:, c:, :], 0)
+    return (
+        jnp.concatenate([up_e, up_o], axis=2),  # (Q, fc, 2fc): [se | so]
+        jnp.concatenate([dn_e, dn_o], axis=1),  # (Q, 2fc, fc)
+    )
 
 
 def _stage_consts(block_params, kernel_sizes, dilation_sizes, f, c, logscale, dtype):
@@ -172,53 +227,67 @@ def _stage_consts(block_params, kernel_sizes, dilation_sizes, f, c, logscale, dt
 # ---------------------------------------------------------------------------
 
 
-def _tap_off(v, rolls, delta: int, rows: int, phys0: int, f: int, c: int):
-    """Folded view of sample shift `delta` for `rows` outputs whose first
-    output reads around physical row `phys0` (aa_snake._tap, re-based)."""
-    d, e = delta // f, delta % f
-    r0 = phys0 + d
-    if e == 0:
-        return v[r0 : r0 + rows, :]
-    w = rolls[e]
-    l = v.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, l), 1)
-    return jnp.where(lane < l - e * c, w[r0 : r0 + rows, :], w[r0 + 1 : r0 + 1 + rows, :])
+def _aa_apply(arr, base: int, ab, f: int, c: int, taps, wup_ref, wdn_ref, mm_dtype):
+    """Interior aa-snake over the maximal valid region; returns (f32, base2).
 
+    f > 1: both FIRs run as folded (L, 2L)/(2L, L) matmuls on the MXU — the
+    lane-roll shuffle form measured 253.6 vs 210.6 ms whole-generator b16
+    (the round-3 shift-FMA lesson repeated inside the kernel: per-phase lane
+    selects are cross-lane VPU shuffles the structural-zero matmul gets for
+    free) — and the snake runs once on the combined [se | so] lanes.
+    f == 1: taps are pure row-shifted FMAs (no lane phases), kept on the VPU.
+    """
+    l = f * c
+    if f > 1:
+        up_shifts, dn_shifts = _fir_shifts(f)
+        y, yb = _mm_taps(arr, base, wup_ref, 0, up_shifts, mm_dtype)
+        y = snake(y, ab[0:1, :], ab[1:2, :])  # the 2x gain is folded into w_up
+        z, zb = _mm_taps(y, yb, wdn_ref, 0, dn_shifts, mm_dtype)
+        return z, zb
 
-def _aa_apply(arr, base: int, ab, f: int, c: int, taps):
-    """Interior aa-snake over the maximal valid region; returns (f32, base2)."""
     f_e, f_o, g_o, g_e = taps
-    al, ar = _aa_extra(f)
+    alpha = ab[0:1, :l]
+    beta = ab[1:2, :l]
     n = arr.shape[0]
-    alpha = ab[0:1, :]
-    beta = ab[1:2, :]
+    al, ar = 5, 5
 
-    # Branches: se/so[u] = snake(2 * sum_j arr_sample[u - 5 + j] * taps[j]),
-    # valid for u (physical) in [al, n).
+    # Branches: se/so[u] = snake(2 * sum_j arr[u - 5 + j] * taps[j]), valid
+    # for u (physical) in [al, n).
     r1 = n - al
-    in_deltas = [j - 5 for j in range(6)]
-    rolls = _lane_rolls(arr, f, c, in_deltas) if f > 1 else {}
     se = so = None
     for j in range(6):
-        v = _tap_off(arr, rolls, j - 5, r1, al, f, c)
+        v = arr[al + j - 5 : al + j - 5 + r1, :]
         se = v * f_e[j] if se is None else se + v * f_e[j]
         so = v * f_o[j] if so is None else so + v * f_o[j]
     se = snake(2.0 * se, alpha, beta)
     so = snake(2.0 * so, alpha, beta)
 
-    # Recombination: z[t] = sum_a g_o[a]*se[t+a] + g_e[a]*so[t+a], valid for
-    # t (physical within se) in [0, r1 - ar).
+    # Recombination: z[t] = sum_a g_o[a]*se[t+a] + g_e[a]*so[t+a].
     rz = r1 - ar
-    out_deltas = list(range(6))
-    se_rolls = _lane_rolls(se, f, c, out_deltas) if f > 1 else {}
-    so_rolls = _lane_rolls(so, f, c, out_deltas) if f > 1 else {}
     z = None
     for a in range(6):
-        t = _tap_off(se, se_rolls, a, rz, 0, f, c) * g_o[a] + _tap_off(
-            so, so_rolls, a, rz, 0, f, c
-        ) * g_e[a]
+        t = se[a : a + rz, :] * g_o[a] + so[a : a + rz, :] * g_e[a]
         z = t if z is None else z + t
     return z, base + al
+
+
+def _mm_taps(arr, base: int, w_ref, w_off: int, shifts, mm_dtype):
+    """Row-shifted matmul chain without bias: out[t] = sum_q arr[t+q] @ W_q."""
+    n = arr.shape[0]
+    smin, smax = min(shifts), max(shifts)
+    rows = n - (smax - smin)
+    acc = None
+    v_in = arr.astype(mm_dtype)
+    for qi, q in enumerate(shifts):
+        v = v_in[q - smin : q - smin + rows, :]
+        t = jax.lax.dot_general(
+            v,
+            w_ref[w_off + qi],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = t if acc is None else acc + t
+    return acc, base - smin
 
 
 def _conv_apply(arr, base: int, w_ref, w_off: int, shifts, bias, mm_dtype):
@@ -241,7 +310,7 @@ def _conv_apply(arr, base: int, w_ref, w_off: int, shifts, bias, mm_dtype):
 
 
 def _kernel(
-    x_hbm, wc_ref, bias_ref, ab_ref, o_ref, x_vmem, sem, *,
+    x_hbm, wc_ref, bias_ref, ab_ref, wup_ref, wdn_ref, o_ref, x_vmem, sem, *,
     q_tile, halo_l, halo_r, f, c, q_total, taps, blocks, mm_dtype
 ):
     """Grid (B, n_tiles); double-buffered halo DMA; whole AMP stage per tile."""
@@ -288,9 +357,9 @@ def _kernel(
     for iters in blocks:
         arr, base = x, 0
         for (w1, s1, b1, a1, w2, s2, b2, a2) in iters:
-            t, tb = _aa_apply(arr, base, ab_ref[a1], f, c, taps)
+            t, tb = _aa_apply(arr, base, ab_ref[a1], f, c, taps, wup_ref, wdn_ref, mm_dtype)
             t, tb = _conv_apply(t, tb, wc_ref, w1, s1, bias_ref[b1], mm_dtype)
-            t, tb = _aa_apply(t, tb, ab_ref[a2], f, c, taps)
+            t, tb = _aa_apply(t, tb, ab_ref[a2], f, c, taps, wup_ref, wdn_ref, mm_dtype)
             t, tb = _conv_apply(t, tb, wc_ref, w2, s2, bias_ref[b2], mm_dtype)
             arr = arr[tb - base : tb - base + t.shape[0], :] + t
             base = tb
@@ -367,6 +436,7 @@ def amp_stage_fused(
     wc, bias, ab = _stage_consts(
         block_params, kernel_sizes, dilation_sizes, f, c, logscale, mm_dtype
     )
+    w_up, w_dn = _fir_weights(f, c, mm_dtype)
 
     kernel = functools.partial(
         _kernel,
@@ -389,6 +459,8 @@ def amp_stage_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed conv weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # folded biases (fp32)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pre-exp'ed alpha/beta
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # FIR up (Q, L, 2L)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # FIR down (Q, 2L, L)
         ],
         out_specs=pl.BlockSpec(
             (None, q_tile, l), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -399,7 +471,7 @@ def amp_stage_fused(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xf, wc, bias, ab)
+    )(xf, wc, bias, ab, w_up, w_dn)
 
     # Edge splice: recompute the contaminated rows with the XLA stage on
     # windows that include the true sequence edge.
