@@ -108,3 +108,17 @@ def test_amp_stage_unsupported_shapes_fall_back():
     assert not amp_block.amp_stage_supported(
         jnp.zeros((1, 16, 128)), (3,), ((1, 2),), 1, interpret=True
     )
+
+
+def test_poly_sin_accuracy():
+    """The range-reduced polynomial sin^2/sin (ops/antialias) must stay
+    within 1e-7 of libm over a wide argument range — far below bf16 output
+    precision and the fp32 parity-test tolerances."""
+    from vocoder_tpu.ops import antialias as aa
+
+    w = jnp.asarray(np.linspace(-300.0, 300.0, 400001), jnp.float32)
+    w64 = np.asarray(w).astype(np.float64)  # the fp32-quantised arguments
+    # ~5e-7 worst case = fp32 half-ulp of the reduction at |w| ~ 16 —
+    # 4 orders below the bf16 output quantum (4e-3 relative)
+    np.testing.assert_allclose(np.asarray(aa.sin_sq(w)), np.sin(w64) ** 2, atol=6e-7)
+    np.testing.assert_allclose(np.asarray(aa.fast_sin(w)), np.sin(w64), atol=6e-7)

@@ -58,7 +58,9 @@ def _snake_apply(p: dict, x: jnp.ndarray, logscale: bool) -> jnp.ndarray:
     if logscale:
         alpha = jnp.exp(alpha)
         beta = jnp.exp(beta)
-    return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+    from vocoder_tpu.ops.antialias import sin_sq
+
+    return x + (1.0 / (beta + 1e-9)) * sin_sq(x * alpha)
 
 
 # Anti-aliased activation backend for the UNFOLDED (fold == 1) stages — with

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -99,8 +100,80 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None)
     )
 
 
+# Snake transcendental backend.  The r4 fused-kernel profile attributed the
+# BigVGAN inference residue to the VPU sin chain itself (not HBM/layout):
+# libm-grade jnp.sin pays a wide-range Payne-Hanek-style reduction + a long
+# polynomial per element.  "poly" evaluates sin^2(w) = (1 - cos(2w))/2 with a
+# cheap round-based range reduction (exact for |2w| < 2^23 — snake arguments
+# are O(1..100)) and a degree-6-in-r^2 minimax cosine (max error 3.6e-8 over
+# a period — invisible at the bf16 output precision and far below the fp32
+# parity-test tolerances).  ~13 fusable VPU ops; benefits the XLA path and
+# the Pallas kernels equally.  "exact" keeps jnp.sin.
+SNAKE_SIN = _os.environ.get("VOCODER_SNAKE_SIN", "poly")
+if SNAKE_SIN not in ("poly", "exact"):
+    raise ValueError(f"VOCODER_SNAKE_SIN={SNAKE_SIN!r}: expected 'poly' or 'exact'")
+
+_TWO_PI = 6.283185307179586
+_INV_TWO_PI = 1.0 / _TWO_PI
+# Cody-Waite split of 2*pi: k*HI and k*MID are exact in fp32 for k < 2^12
+# (both constants carry few mantissa bits), so the reduction r = u - k*2pi
+# loses no precision up to |u| ~ 2.5e4 (plain single-constant reduction
+# degraded to ~2e-5 by |u| ~ 600).
+_TP_HI = 6.28125
+_TP_MID = 0.0019350051879882812
+_TP_LO = 3.0199159795074593e-07
+# cos(r) = sum_i c_i (r^2)^i on r in [-pi, pi]; Chebyshev-fitted, |err| <= 3.6e-8.
+_COS_COEF = (
+    0.9999999922907286,
+    -0.4999999177267109,
+    0.04166652436474753,
+    -0.0013887970410899468,
+    2.4773424196945306e-05,
+    -2.71133732450103e-07,
+    1.7369133647437146e-09,
+)
+# sin(r) = r * sum_i s_i (r^2)^i on r in [-pi, pi]; |err| <= 7.7e-9.
+_SIN_COEF = (
+    0.9999999994768398,
+    -0.16666666108562112,
+    0.008333323685091395,
+    -0.0001984064754254522,
+    2.7538258044539417e-06,
+    -2.4752169156660884e-08,
+    1.3697464704976747e-10,
+)
+
+
+def sin_sq(w):
+    """sin^2(w), elementwise (fp32): poly backend or exact jnp.sin."""
+    if SNAKE_SIN == "exact":
+        return jnp.square(jnp.sin(w))
+    u = 2.0 * w
+    k = jnp.round(u * _INV_TWO_PI)
+    r = ((u - k * _TP_HI) - k * _TP_MID) - k * _TP_LO  # r in [-pi, pi]
+    r2 = r * r
+    cos = _COS_COEF[-1]
+    for c_i in _COS_COEF[-2::-1]:
+        cos = cos * r2 + c_i
+    return 0.5 - 0.5 * cos
+
+
+def fast_sin(w):
+    """sin(w), elementwise (fp32): poly backend (odd poly after the same
+    Cody-Waite reduction) or jnp.sin."""
+    if SNAKE_SIN == "exact":
+        return jnp.sin(w)
+    k = jnp.round(w * _INV_TWO_PI)
+    r = ((w - k * _TP_HI) - k * _TP_MID) - k * _TP_LO  # r in [-pi, pi]
+    r2 = r * r
+    s = _SIN_COEF[-1]
+    for c_i in _SIN_COEF[-2::-1]:
+        s = s * r2 + c_i
+    return r * s
+
+
 def _snake_f32(v, a, bgain):
-    return v + (1.0 / (bgain + 1e-9)) * jnp.square(jnp.sin(v * a))
+    return v + (1.0 / (bgain + 1e-9)) * sin_sq(v * a)
 
 
 @functools.lru_cache(maxsize=None)
@@ -265,8 +338,8 @@ def aa_snake_core_bwd(x, alpha, beta, ct):
     dso = _dwconv(ctp, tuple(g_e[::-1]))
 
     inv_b = 1.0 / (b2 + 1e-9)
-    s2e = jnp.sin(2.0 * a2 * ye)
-    s2o = jnp.sin(2.0 * a2 * yo)
+    s2e = fast_sin(2.0 * a2 * ye)
+    s2o = fast_sin(2.0 * a2 * yo)
     dye = dse * (1.0 + a2 * inv_b * s2e)
     dyo = dso * (1.0 + a2 * inv_b * s2o)
 

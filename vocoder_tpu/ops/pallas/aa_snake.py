@@ -66,8 +66,14 @@ _EDGE_WIN = 32  # input window for the edge recomputation
 
 
 def snake(x, alpha, beta):
-    """x + (1/(beta+eps)) * sin^2(alpha*x); alpha/beta pre-exp'ed if logscale."""
-    return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+    """x + (1/(beta+eps)) * sin^2(alpha*x); alpha/beta pre-exp'ed if logscale.
+
+    Shares the antialias sin^2 backend (poly range-reduced cosine by default
+    — Mosaic has no cheap sin either, and the r4 profile put the kernel's
+    residue in the VPU transcendental chain)."""
+    from vocoder_tpu.ops.antialias import sin_sq
+
+    return x + (1.0 / (beta + 1e-9)) * sin_sq(x * alpha)
 
 
 def _lane_rolls(v, f: int, c: int, deltas):
