@@ -100,14 +100,35 @@ def test_amp_stage_fused_full_generator():
 
 
 def test_amp_stage_unsupported_shapes_fall_back():
-    # wrong lane width
-    assert not amp_block.amp_stage_supported(
-        jnp.zeros((1, 128, 256)), (3,), ((1, 2),), 1, interpret=True
+    # L == 256 runs per-block kernels; wider lanes are unsupported
+    assert (
+        amp_block.amp_stage_supported(jnp.zeros((1, 128, 256)), (3,), ((1, 2),), 1, interpret=True)
+        == "block"
+    )
+    assert (
+        amp_block.amp_stage_supported(jnp.zeros((1, 128, 512)), (3,), ((1, 2),), 1, interpret=True)
+        is None
     )
     # too short for any tile
-    assert not amp_block.amp_stage_supported(
-        jnp.zeros((1, 16, 128)), (3,), ((1, 2),), 1, interpret=True
+    assert (
+        amp_block.amp_stage_supported(jnp.zeros((1, 16, 128)), (3,), ((1, 2),), 1, interpret=True)
+        is None
     )
+
+
+def test_amp_block_fused_l256_matches_xla():
+    """The wide first stage (L == 256, fold 1) runs one kernel per block;
+    each must match the XLA chain."""
+    kernel_sizes = (5,)
+    dilation_sizes = ((1, 3),)
+    cfg, blocks = _stage(jax.random.key(2), 256, kernel_sizes, dilation_sizes)
+    rng = np.random.default_rng(9)
+    xf = jnp.asarray(rng.standard_normal((1, 128, 256)) * 0.5, jnp.float32)
+    got = amp_block.amp_stage_fused(
+        blocks, xf, kernel_sizes, dilation_sizes, cfg.snake_logscale, 1, interpret=True
+    )
+    want = _oracle(blocks, xf, kernel_sizes, dilation_sizes, cfg, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
 def test_poly_sin_accuracy():

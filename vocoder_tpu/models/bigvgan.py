@@ -119,9 +119,11 @@ if AA_FOLDED_BACKEND not in ("xla", "pallas"):
 
 # Whole-AMP-STAGE fused Pallas kernel (ops/pallas/amp_block.py): all resblock
 # kernel sizes, dilations, residuals and the 1/n_k average in ONE HBM pass
-# per stage, inference only.  "fused" enables it for every supported stage
-# (r*C == 128 lane-dense, i.e. every stage after the first in the base
-# config); "xla" keeps the per-op folded pipeline.
+# per stage, inference only.  "fused" enables it for every supported stage:
+# r*C == 128 lane-dense stages run one all-blocks kernel, the wide C == 256
+# first stage one kernel per block (VMEM); "xla" keeps the per-op folded
+# pipeline.  Measured r4 (BENCH.md): 113.5 vs 117.0 ms b16 inference with
+# the poly-sin snake.
 AMP_BACKEND = _os.environ.get("VOCODER_AMP_BACKEND", "fused")  # "fused" | "xla"
 if AMP_BACKEND not in ("fused", "xla"):
     raise ValueError(
@@ -371,10 +373,11 @@ def apply(
         if AMP_BACKEND == "fused" and not training and lens is None:
             from vocoder_tpu.ops.pallas import amp_block
 
-            if amp_block.amp_stage_supported(
+            mode = amp_block.amp_stage_supported(
                 x, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes, r,
                 interpret=amp_block.INTERPRET,
-            ):
+            )
+            if mode == "stage":
                 x = amp_block.amp_stage_fused(
                     [params["resblocks"][i * n_k + j] for j in range(n_k)],
                     x,
@@ -384,6 +387,25 @@ def apply(
                     r,
                     interpret=amp_block.INTERPRET,
                 )
+                fused_done = True
+            elif mode == "block":
+                # Wide (L == 256) stage: one kernel per block (all three
+                # blocks' folded conv weights exceed VMEM together), mean
+                # taken here — x is re-read per block, but this stage carries
+                # 1/8 of the big stages' samples.
+                outs = [
+                    amp_block.amp_stage_fused(
+                        [params["resblocks"][i * n_k + j]],
+                        x,
+                        (cfg.resblock_kernel_sizes[j],),
+                        (cfg.resblock_dilation_sizes[j],),
+                        cfg.snake_logscale,
+                        r,
+                        interpret=amp_block.INTERPRET,
+                    )
+                    for j in range(n_k)
+                ]
+                x = sum(outs) / n_k
                 fused_done = True
         if not fused_done:
             outs = [

@@ -310,10 +310,18 @@ def _conv_apply(arr, base: int, w_ref, w_off: int, shifts, bias, mm_dtype):
 
 
 def _kernel(
-    x_hbm, wc_ref, bias_ref, ab_ref, wup_ref, wdn_ref, o_ref, x_vmem, sem, *,
+    x_hbm, wc_ref, bias_ref, ab_ref, *rest,
     q_tile, halo_l, halo_r, f, c, q_total, taps, blocks, mm_dtype
 ):
-    """Grid (B, n_tiles); double-buffered halo DMA; whole AMP stage per tile."""
+    """Grid (B, n_tiles); double-buffered halo DMA; whole AMP stage per tile.
+
+    rest = (wup_ref, wdn_ref, o_ref, x_vmem, sem) for folded stages (f > 1);
+    the f == 1 FIRs are row-shift FMAs and carry no weights."""
+    if f > 1:
+        wup_ref, wdn_ref, o_ref, x_vmem, sem = rest
+    else:
+        wup_ref = wdn_ref = None
+        o_ref, x_vmem, sem = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_i = pl.num_programs(0)
@@ -394,17 +402,22 @@ def _halos(kernel_sizes, dilation_sizes, f: int) -> tuple[int, int]:
 
 def amp_stage_supported(
     xf: jnp.ndarray, kernel_sizes, dilation_sizes, fold: int, interpret: bool = False
-) -> bool:
+) -> str | None:
+    """None when unsupported; "stage" for one all-blocks kernel (L == 128);
+    "block" for one kernel per block (L == 256 — all three blocks' folded
+    conv weights exceed VMEM together, one block's fit)."""
     b, q, l = xf.shape
     if not interpret and jax.default_backend() == "cpu":
-        return False
-    if l != 128 or l % fold:
-        return False
+        return None
+    if l not in (128, 256) or l % fold:
+        return None
     c = l // fold
     if c % 8 != 0 and fold > 1:
-        return False
+        return None
     halo_l, halo_r = _halos(kernel_sizes, dilation_sizes, fold)
-    return _pick_tile(q, halo_l + halo_r) is not None
+    if _pick_tile(q, halo_l + halo_r) is None:
+        return None
+    return "stage" if l == 128 else "block"
 
 
 def amp_stage_fused(
@@ -436,7 +449,10 @@ def amp_stage_fused(
     wc, bias, ab = _stage_consts(
         block_params, kernel_sizes, dilation_sizes, f, c, logscale, mm_dtype
     )
-    w_up, w_dn = _fir_weights(f, c, mm_dtype)
+    inputs = [xf, wc, bias, ab]
+    if f > 1:
+        w_up, w_dn = _fir_weights(f, c, mm_dtype)
+        inputs += [w_up, w_dn]
 
     kernel = functools.partial(
         _kernel,
@@ -454,14 +470,11 @@ def amp_stage_fused(
     z = pl.pallas_call(
         kernel,
         grid=(b, q // q_tile),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x in HBM; manual halo DMA
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed conv weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # folded biases (fp32)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pre-exp'ed alpha/beta
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # FIR up (Q, L, 2L)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # FIR down (Q, 2L, L)
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # x in HBM; manual halo DMA
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in inputs[1:]],
+        # VMEM inputs: packed conv weights, folded fp32 biases, pre-exp'ed
+        # alpha/beta, and (folded stages only) the FIR (Q,L,2L)/(Q,2L,L)
+        # matmul weights.
         out_specs=pl.BlockSpec(
             (None, q_tile, l), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
@@ -471,7 +484,7 @@ def amp_stage_fused(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xf, wc, bias, ab, w_up, w_dn)
+    )(*inputs)
 
     # Edge splice: recompute the contaminated rows with the XLA stage on
     # windows that include the true sequence edge.
