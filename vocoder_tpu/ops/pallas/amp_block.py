@@ -405,9 +405,18 @@ def amp_stage_supported(
 ) -> str | None:
     """None when unsupported; "stage" for one all-blocks kernel (L == 128);
     "block" for one kernel per block (L == 256 — all three blocks' folded
-    conv weights exceed VMEM together, one block's fit)."""
+    conv weights exceed VMEM together, one block's fit).
+
+    "block" is OPT-IN (VOCODER_AMP_WIDE=fused): measured 118.6 vs 113.5 ms
+    b16 whole-generator with the C=256 stage on XLA (BENCH.md r4) — three
+    kernel launches re-reading x plus 8.7 MB of VMEM weights lose to XLA's
+    dense convs on the one stage that was never elementwise-bound."""
+    import os
+
     b, q, l = xf.shape
     if not interpret and jax.default_backend() == "cpu":
+        return None
+    if l == 256 and os.environ.get("VOCODER_AMP_WIDE", "xla") != "fused" and not interpret:
         return None
     if l not in (128, 256) or l % fold:
         return None
