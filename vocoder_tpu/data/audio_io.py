@@ -80,11 +80,11 @@ def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
             return read_mp3(path)
         raise UnsupportedFormatError(f"{path}: .mp3 needs libmpg123, which is unavailable")
     if suffix == ".ogg":
-        if ".ogg" in DECODABLE_EXTENSIONS:
-            from vocoder_tpu.data.ogg import read_ogg
+        # Always decodable: native C++ loop -> libvorbisfile ctypes -> the
+        # self-contained spec decoder (data/vorbis.py).
+        from vocoder_tpu.data.ogg import read_ogg
 
-            return read_ogg(path)
-        raise UnsupportedFormatError(f"{path}: .ogg needs libvorbisfile, which is unavailable")
+        return read_ogg(path)
     if suffix in DECODABLE_EXTENSIONS or suffix not in AUDIO_EXTENSIONS:
         return read_wav(path)  # WAV, or sniff unknown extensions as RIFF
     raise UnsupportedFormatError(

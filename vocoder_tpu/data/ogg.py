@@ -5,8 +5,10 @@ LoadAudio accepts whatever torchaudio's system codec reads,
 fish_vocoder/data/transforms/load.py:16-23, and .ogg is in its corpus
 glob set).  Decode binds libvorbisfile's pull API (ov_fopen/ov_read_float);
 encode binds libvorbisenc + libogg packetisation, used mainly to produce
-validation fixtures.  Both gate cleanly on library presence: without them
-.ogg stays out of DECODABLE_EXTENSIONS and datasets fail fast.
+validation fixtures.  Without the system libraries decode falls back to the
+self-contained Vorbis I spec decoder (data/vorbis.py, parity-tested against
+libvorbisfile) with a one-time slowness warning, so .ogg is ALWAYS in
+DECODABLE_EXTENSIONS; encode still gates on library presence.
 
 ABI notes: every opaque struct (OggVorbis_File, ogg_stream_state,
 vorbis_dsp_state, vorbis_block) is allocated as an oversized byte blob —
@@ -24,6 +26,7 @@ from pathlib import Path
 import numpy as np
 
 _vorbisfile = None
+_warned_pure = False
 _vorbis = None
 _vorbisenc = None
 _ogg = None
@@ -106,6 +109,8 @@ def _libs():
     ]
     vf.ov_clear.restype = c.c_int
     vf.ov_clear.argtypes = [c.c_void_p]
+    vf.ov_pcm_seek.restype = c.c_int
+    vf.ov_pcm_seek.argtypes = [c.c_void_p, c.c_int64]
 
     if ve is not None and og is not None:
         vo.vorbis_info_init.restype = None
@@ -158,6 +163,14 @@ def _libs():
 
 
 def decoder_available() -> bool:
+    """.ogg is ALWAYS decodable: libvorbisfile when present, else the
+    self-contained spec decoder (data/vorbis.py) — so ogg corpora never
+    silently drop out of DECODABLE_EXTENSIONS on images without the xiph
+    .so's.  system_decoder_available() reports the fast path."""
+    return True
+
+
+def system_decoder_available() -> bool:
     return _libs()[0] is not None
 
 
@@ -187,12 +200,28 @@ def read_ogg(path: str | Path) -> tuple[np.ndarray, int]:
 
     vf, _, _, _ = _libs()
     if vf is None:
-        raise RuntimeError("libvorbisfile is not available; cannot decode ogg")
+        global _warned_pure
+        if not _warned_pure:
+            _warned_pure = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "libvorbisfile not found: decoding .ogg with the pure-Python "
+                "spec decoder (~realtime per core). Install libvorbisfile for "
+                "training-rate ingest (BENCH.md: native loop 34.5 batch/s)."
+            )
+        from vocoder_tpu.data.vorbis import read_ogg_pure
+
+        return read_ogg_pure(path)
     ovf = _blob()
     rc = vf.ov_fopen(str(path).encode(), ovf)
     if rc != 0:
         raise ValueError(f"{path}: not a decodable Ogg/Vorbis stream (ov_fopen rc={rc})")
     try:
+        # On seekable CHAINED streams ov_fopen's chain scan can leave the
+        # cursor at the last link; without this seek the pull loop silently
+        # drops every earlier link (found by the data/vorbis.py parity tests).
+        vf.ov_pcm_seek(ovf, 0)  # best-effort: nonzero rc keeps current pos
         info = vf.ov_info(ovf, -1)
         if not info:
             raise ValueError(f"{path}: ov_info failed")
