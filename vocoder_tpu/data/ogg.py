@@ -207,7 +207,7 @@ def read_ogg(path: str | Path) -> tuple[np.ndarray, int]:
 
             logging.getLogger(__name__).warning(
                 "libvorbisfile not found: decoding .ogg with the pure-Python "
-                "spec decoder (~realtime per core). Install libvorbisfile for "
+                "spec decoder (~11 audio-s/s/core). Install libvorbisfile for "
                 "training-rate ingest (BENCH.md: native loop 34.5 batch/s)."
             )
         from vocoder_tpu.data.vorbis import read_ogg_pure

@@ -30,8 +30,9 @@ and allclose PCM (the residual difference is libvorbis's float32 MDCT vs
 the float64 math here).
 
 Performance note: this is deliberately clear spec-shaped Python/numpy, not
-a kernel — decode runs ~0.3-1x realtime per core.  Training-rate ingest
-uses the native path (BENCH.md: ogg C++ loop 34.5 batch/s at 4 workers).
+a kernel — measured 11.3 audio-s/s/core (44.1 kHz q0.6 mono; same class as
+the pure-Python FLAC fallback's 8.6).  Training-rate ingest uses the native
+path (BENCH.md: ogg C++ loop 34.5 batch/s at 4 workers).
 """
 
 from __future__ import annotations

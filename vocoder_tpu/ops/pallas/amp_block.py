@@ -388,8 +388,25 @@ def _kernel(
 # ---------------------------------------------------------------------------
 
 
+def _max_tile() -> int:
+    """Tile-row cap (VOCODER_AMP_TILE).  Larger tiles amortise the halo
+    recompute (96/96 rows at f=1, 56/56 at f=2 — 19%/11% of a 1024-row
+    tile) against VMEM: at 2048 rows the f=1/f=2 stages stay ~11 MB
+    (4 MB folded conv weights + 2-slot input + fp32 chain intermediates);
+    4096 exceeds v5e VMEM at f<=2."""
+    import os
+
+    v = int(os.environ.get("VOCODER_AMP_TILE", "1024"))
+    if v not in (512, 1024, 2048, 4096):
+        raise ValueError(f"VOCODER_AMP_TILE={v} not in (512, 1024, 2048, 4096)")
+    return v
+
+
 def _pick_tile(q: int, halo: int) -> int | None:
-    for cand in (1024, 512, 256, 128, 64, 32):
+    cap = _max_tile()
+    for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32):
+        if cand > cap:
+            continue
         if q % cand == 0 and q // cand >= 2 and q >= cand + halo:
             return cand
     return None
