@@ -19,6 +19,14 @@ run infer_bigvgan_tile1024 env VOCODER_AMP_TILE=1024 \
 run infer_bigvgan_tile2048 env VOCODER_AMP_TILE=2048 \
   python -m vocoder_tpu.cli.bench_infer --model bigvgan --batch 16
 
+# FIR lowering A/B: v1 shuffle FIRs lost pre-poly-sin (253.6 vs 218.1 ms)
+# when the VPU was sin-saturated; with poly-sin the roofline says the mm
+# form pays ~41 ms of structural-zero MXU matmuls the shuffle form avoids.
+run infer_bigvgan_fir_shuffle env VOCODER_AMP_FIR=shuffle \
+  python -m vocoder_tpu.cli.bench_infer --model bigvgan --batch 16
+run infer_bigvgan_fir_shuffle_t2048 env VOCODER_AMP_FIR=shuffle VOCODER_AMP_TILE=2048 \
+  python -m vocoder_tpu.cli.bench_infer --model bigvgan --batch 16
+
 # BigVGAN train knee: b16 (HiFiGAN saturated at b16-b32; BigVGAN unmeasured).
 run train_bigvgan_b16 python -m vocoder_tpu.cli.bench_train --model bigvgan \
   --batch 16 --iters 10

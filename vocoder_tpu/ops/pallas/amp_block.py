@@ -50,12 +50,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vocoder_tpu.ops.antialias import polyphase_taps
-from vocoder_tpu.ops.pallas.aa_snake import snake
+from vocoder_tpu.ops.pallas.aa_snake import _lane_rolls, snake
 
 
 # Tests flip this to run the kernel through the Pallas interpreter on CPU
 # (models/bigvgan.py passes it through to amp_stage_supported/amp_stage_fused).
 INTERPRET = False
+
+import os as _os
+
+# FIR lowering inside the folded (f > 1) stages:
+#   "mm"      (default): both polyphase FIRs as packed folded matmuls — one
+#             (L, 2L) MXU pass per row shift.  Won pre-poly-sin (218.1 vs
+#             253.6 ms b16, BENCH.md r4) when the VPU was saturated by the
+#             libm sin chain.
+#   "shuffle" (the original v1 lowering): taps as lane-rolled selects + FMAs
+#             on the VPU — near-zero MXU FLOPs (the mm form pays ~41 ms of
+#             structural-zero matmuls at roofline across the f>1 stages).
+#             Re-measurable now that poly-sin freed the VPU budget.
+FIR_BACKEND = _os.environ.get("VOCODER_AMP_FIR", "mm")
+if FIR_BACKEND not in ("mm", "shuffle"):
+    raise ValueError(
+        f"VOCODER_AMP_FIR={FIR_BACKEND!r} is not a known backend; "
+        "expected 'mm' (default) or 'shuffle'"
+    )
 
 
 def _ceil(a: int, b: int) -> int:
@@ -92,12 +110,18 @@ def _fir_shifts(f: int) -> tuple[tuple, tuple]:
 def _aa_extra(f: int) -> tuple[int, int]:
     """(left, right) row shrink of one interior aa-snake at fold f.
 
-    f > 1: both FIRs run as folded matmuls (their _fold_index shift ranges).
-    f == 1: branch taps read samples [-5, 0] (row-shift FMAs), recombination
-    reads samples [0, 5]."""
-    if f > 1:
+    f > 1, "mm": both FIRs run as folded matmuls (their _fold_index shift
+    ranges).  f > 1, "shuffle": branch taps read samples [-5, 0] (left reach
+    ceil(5/f) rows), recombination reads samples [0, 5] (right reach a//f
+    rows, +1 when the lane phase overflows).  f == 1: row-shift FMAs over
+    samples [-5, 0] / [0, 5]."""
+    if f > 1 and FIR_BACKEND == "mm":
         up, dn = _fir_shifts(f)
         return -min(up) - min(dn), max(up) + max(dn)
+    if f > 1:
+        left = _ceil(5, f)
+        right = max(a // f + (1 if a % f else 0) for a in range(6))
+        return left, right
     return 5, 5
 
 
@@ -227,18 +251,32 @@ def _stage_consts(block_params, kernel_sizes, dilation_sizes, f, c, logscale, dt
 # ---------------------------------------------------------------------------
 
 
+def _tap_off(v, rolls, delta: int, rows: int, phys0: int, f: int, c: int):
+    """Folded view of sample shift `delta` for `rows` outputs whose first
+    output reads around physical row `phys0` (aa_snake._tap, re-based)."""
+    d, e = delta // f, delta % f
+    r0 = phys0 + d
+    if e == 0:
+        return v[r0 : r0 + rows, :]
+    w = rolls[e]
+    l = v.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, l), 1)
+    return jnp.where(lane < l - e * c, w[r0 : r0 + rows, :], w[r0 + 1 : r0 + 1 + rows, :])
+
+
 def _aa_apply(arr, base: int, ab, f: int, c: int, taps, wup_ref, wdn_ref, mm_dtype):
     """Interior aa-snake over the maximal valid region; returns (f32, base2).
 
-    f > 1: both FIRs run as folded (L, 2L)/(2L, L) matmuls on the MXU — the
-    lane-roll shuffle form measured 253.6 vs 210.6 ms whole-generator b16
-    (the round-3 shift-FMA lesson repeated inside the kernel: per-phase lane
-    selects are cross-lane VPU shuffles the structural-zero matmul gets for
-    free) — and the snake runs once on the combined [se | so] lanes.
+    f > 1, "mm" (default): both FIRs run as folded (L, 2L)/(2L, L) matmuls on
+    the MXU and the snake runs once on the combined [se | so] lanes.  Won
+    pre-poly-sin when the VPU was sin-saturated; costs ~41 ms of
+    structural-zero matmuls at MXU roofline across the f > 1 stages (b16).
+    f > 1, "shuffle": taps as lane-rolled selects + FMAs — the true 6-tap
+    math on the VPU, near-zero MXU FLOPs (see FIR_BACKEND).
     f == 1: taps are pure row-shifted FMAs (no lane phases), kept on the VPU.
     """
     l = f * c
-    if f > 1:
+    if f > 1 and FIR_BACKEND == "mm":
         up_shifts, dn_shifts = _fir_shifts(f)
         y, yb = _mm_taps(arr, base, wup_ref, 0, up_shifts, mm_dtype)
         y = snake(y, ab[0:1, :], ab[1:2, :])  # the 2x gain is folded into w_up
@@ -246,6 +284,32 @@ def _aa_apply(arr, base: int, ab, f: int, c: int, taps, wup_ref, wdn_ref, mm_dty
         return z, zb
 
     f_e, f_o, g_o, g_e = taps
+    if f > 1:
+        al, ar = _aa_extra(f)
+        n = arr.shape[0]
+        alpha = ab[0:1, :l]
+        beta = ab[1:2, :l]
+        r1 = n - al
+        in_deltas = [j - 5 for j in range(6)]
+        rolls = _lane_rolls(arr, f, c, in_deltas)
+        se = so = None
+        for j in range(6):
+            v = _tap_off(arr, rolls, j - 5, r1, al, f, c)
+            se = v * f_e[j] if se is None else se + v * f_e[j]
+            so = v * f_o[j] if so is None else so + v * f_o[j]
+        se = snake(2.0 * se, alpha, beta)
+        so = snake(2.0 * so, alpha, beta)
+        rz = r1 - ar
+        out_deltas = list(range(6))
+        se_rolls = _lane_rolls(se, f, c, out_deltas)
+        so_rolls = _lane_rolls(so, f, c, out_deltas)
+        z = None
+        for a in range(6):
+            t = _tap_off(se, se_rolls, a, rz, 0, f, c) * g_o[a] + _tap_off(
+                so, so_rolls, a, rz, 0, f, c
+            ) * g_e[a]
+            z = t if z is None else z + t
+        return z, base + al
     alpha = ab[0:1, :l]
     beta = ab[1:2, :l]
     n = arr.shape[0]
@@ -315,9 +379,9 @@ def _kernel(
 ):
     """Grid (B, n_tiles); double-buffered halo DMA; whole AMP stage per tile.
 
-    rest = (wup_ref, wdn_ref, o_ref, x_vmem, sem) for folded stages (f > 1);
-    the f == 1 FIRs are row-shift FMAs and carry no weights."""
-    if f > 1:
+    rest = (wup_ref, wdn_ref, o_ref, x_vmem, sem) for folded "mm" stages;
+    the f == 1 and "shuffle" FIRs are FMA/shuffle chains with no weights."""
+    if f > 1 and FIR_BACKEND == "mm":
         wup_ref, wdn_ref, o_ref, x_vmem, sem = rest
     else:
         wup_ref = wdn_ref = None
@@ -476,7 +540,7 @@ def amp_stage_fused(
         block_params, kernel_sizes, dilation_sizes, f, c, logscale, mm_dtype
     )
     inputs = [xf, wc, bias, ab]
-    if f > 1:
+    if f > 1 and FIR_BACKEND == "mm":
         w_up, w_dn = _fir_weights(f, c, mm_dtype)
         inputs += [w_up, w_dn]
 
