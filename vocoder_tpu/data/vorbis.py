@@ -37,7 +37,6 @@ path (BENCH.md: ogg C++ loop 34.5 batch/s at 4 workers).
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 
 import numpy as np
@@ -66,9 +65,6 @@ def _crc_table() -> np.ndarray:
 
 def _ogg_crc(data: bytes) -> int:
     tab = _crc_table()
-    crc = np.uint32(0)
-    # Vectorised table-walk: process in one pass with Python loop over bytes
-    # is too slow for large pages; use numpy cumulative form per 1-byte step.
     c = 0
     for b in data:
         c = ((c << 8) & 0xFFFFFFFF) ^ int(tab[((c >> 24) & 0xFF) ^ b])
@@ -135,18 +131,20 @@ def _assemble_packets(pages, path):
     partial = bytearray()
     page_marks = []
     open_packet = False
+    headless = False  # the open packet's head is missing (hole/seek landing)
     for pg in pages:
-        if pg.flags & 0x01:  # continued packet
+        if pg.flags & 0x01:
             if not open_packet:
-                # Continuation without an open packet (e.g. seek landing):
-                # spec says discard the fragment.
-                partial = bytearray()
+                headless = True
         elif open_packet:
             raise ValueError(f"{path}: packet spans pages but continuation flag missing")
         for seg, lace in pg.segments:
             partial += seg
             if lace < 255:
-                packets.append(bytes(partial))
+                if headless:
+                    headless = False  # discard the head-missing fragment (spec)
+                else:
+                    packets.append(bytes(partial))
                 partial = bytearray()
                 open_packet = False
             else:
