@@ -1,8 +1,9 @@
-"""Benchmark: generated audio-seconds per second per chip (HiFiGAN inference).
+"""Benchmark: generated audio-seconds per second per chip, per flagship family.
 
-Runs the flagship full-size 44.1 kHz HiFiGAN generator (BASELINE.md config 1)
-in throughput mode — folded weight norm, bf16, batch 128 of ~3 s utterances —
-and prints ONE JSON line.
+Runs the three headline 44.1 kHz generators at their BENCH.md flagship batch
+points — HiFiGAN b128, Vocos b64, BigVGAN b16 — each with folded weight norm,
+bf16, params-as-jit-args, and prints ONE JSON line per model (HiFiGAN first,
+so single-line consumers keep reading the historical flagship metric).
 
 The reference publishes no numbers (BASELINE.json "published": {}), so
 ``vs_baseline`` is anchored to real-time synthesis: vs_baseline == generated
@@ -20,50 +21,64 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# (model preset, batch) at each family's measured-knee flagship point.
+CONFIGS = [
+    ("hifigan", 128),
+    ("vocos", 64),
+    ("bigvgan", 16),
+]
 
-def main():
+FRAMES = 256
+N_ITERS = 5
+
+
+def bench_one(model: str, batch: int) -> float:
     from vocoder_tpu import nn
-    from vocoder_tpu.models import hifigan
+    from vocoder_tpu.config import build_task_config
+    from vocoder_tpu.models.registry import get_generator
 
-    nn.set_default_precision(lax.Precision.DEFAULT)
+    task = build_task_config(model)
+    gen = get_generator(task.generator_name)
 
-    cfg = hifigan.HiFiGANConfig()  # 44.1 kHz, hop 512, 512 channels
-    params = hifigan.init(jax.random.key(0), cfg)
+    params = gen.init(jax.random.key(0), task.generator)
     params = nn.fold_weight_norm(params)  # inference mode (remove_parametrizations analogue)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-
-    batch, frames, sr = 128, 256, 44100
-    audio_seconds_per_call = batch * frames * cfg.hop_length / sr  # ~190 s
+    mel = jnp.zeros((batch, task.num_mels, FRAMES), jnp.bfloat16)
 
     @jax.jit
-    def _run(p, mel):  # params as args (large closure constants wedge the compiler)
-        return hifigan.apply(p, mel, cfg)
+    def run(p, m):  # params as args (large closure constants wedge the compiler)
+        return gen.apply(p, m, task.generator)
 
-    def run(mel):
-        return _run(params, mel)
+    float(jnp.sum(run(params, mel)))  # compile + warmup (compiles are slow on this link)
 
-    mel = jnp.zeros((batch, cfg.num_mels, frames), jnp.bfloat16)
-    float(jnp.sum(run(mel)))  # compile + warmup (compiles are slow on this link)
-
-    n_iters = 5
     start = time.perf_counter()
     out = None
-    for _ in range(n_iters):
-        out = run(mel)
+    for _ in range(N_ITERS):
+        out = run(params, mel)
     float(jnp.sum(out))  # force execution of the whole chain
     elapsed = time.perf_counter() - start
 
-    value = audio_seconds_per_call * n_iters / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "hifigan_inference_audio_seconds_per_s_per_chip",
-                "value": round(value, 2),
-                "unit": "audio_s/s/chip",
-                "vs_baseline": round(value, 2),
-            }
+    audio_seconds_per_call = batch * FRAMES * task.hop_length / task.sampling_rate
+    return audio_seconds_per_call * N_ITERS / elapsed
+
+
+def main():
+    from vocoder_tpu import nn
+
+    nn.set_default_precision(lax.Precision.DEFAULT)
+    for model, batch in CONFIGS:
+        value = bench_one(model, batch)
+        print(
+            json.dumps(
+                {
+                    "metric": f"{model}_inference_audio_seconds_per_s_per_chip",
+                    "value": round(value, 2),
+                    "unit": "audio_s/s/chip",
+                    "vs_baseline": round(value, 2),
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":

@@ -31,13 +31,15 @@ run latency_bigvgan_b1   python -m vocoder_tpu.cli.bench_infer --model bigvgan -
 # Quality at horizon: infer the 10k-step soak checkpoint over its corpus,
 # then evaluate generated vs source (the task the reference's test.py+eval.py
 # pipeline performs, fish_vocoder/eval.py:55).
-if [ -d /tmp/soak10k_hifigan/checkpoints ]; then
+if [ -d /tmp/soak10k_hifigan/checkpoints/10000 ]; then
+  echo "--- quality eval scores the step-10000 checkpoint" >> "$LOG"
   run infer_soak10k python -m vocoder_tpu.cli.infer --model hifigan \
     --ckpt /tmp/soak10k_hifigan/checkpoints \
     --input /tmp/soak_clips --output /tmp/soak10k_gen --batch 8
   run eval_soak10k python -m vocoder_tpu.cli.evaluate /tmp/soak_clips /tmp/soak10k_gen \
     --sr 44100 --workers 4
 else
-  echo "--- soak10k checkpoint missing; skipping quality eval" >> "$LOG"
+  latest=$(ls /tmp/soak10k_hifigan/checkpoints 2>/dev/null | sort -n | tail -1)
+  echo "--- step-10000 checkpoint missing (latest: ${latest:-none}); skipping quality eval" >> "$LOG"
 fi
 echo "=== SWEEP R4K DONE $(date -u +%H:%M:%S) ===" >> "$LOG"

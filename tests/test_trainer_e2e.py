@@ -200,6 +200,10 @@ def test_build_task_config_presets():
     t24 = build_task_config("hifigan", "24000_256_1024")
     assert t24.sampling_rate == 24000 and t24.num_mels == 100
     assert dataclasses.is_dataclass(t24.generator)
+    # ADVICE r4: hyphenated CLI spellings normalize to the underscore presets.
+    assert build_task_config("vocos-huge").generator == build_task_config("vocos_huge").generator
+    with pytest.raises(KeyError, match="unknown generator preset"):
+        build_task_config("no_such_model")
 
 
 def test_upsample_rates_factorization():

@@ -284,10 +284,14 @@ def _ssl_generator(res: dict):
 
 
 def build_task_config(model: str = "hifigan", resolution: str = "44100_512_2048", family: str = "gan") -> GANTaskConfig:
+    # CLI convenience: accept `vocos-huge` for `vocos_huge` etc.
+    model = model.replace("-", "_")
     res = RESOLUTIONS[resolution]
     mrd_res = _mrd_resolutions(res)
     kw: dict = {}
     if family == "gan":
+        if model not in GENERATOR_PRESETS:
+            raise KeyError(f"unknown generator preset {model!r}; available: {sorted(GENERATOR_PRESETS)}")
         gen_name, gen_cfg = GENERATOR_PRESETS[model](res)
     elif family == "vae":
         gen_name, gen_cfg = "vae", _vae_generator(res)
