@@ -27,6 +27,13 @@ run infer_bigvgan_fir_shuffle env VOCODER_AMP_FIR=shuffle \
 run infer_bigvgan_fir_shuffle_t2048 env VOCODER_AMP_FIR=shuffle VOCODER_AMP_TILE=2048 \
   python -m vocoder_tpu.cli.bench_infer --model bigvgan --batch 16
 
+# Mixed per-stage lowering (README roadmap / VERDICT r4 #3): shuffle on the
+# MXU-heaviest folded stages, mm elsewhere (folds present: 1, 2, 4, 8).
+run infer_bigvgan_fir_mixed2  env VOCODER_AMP_FIR=mm,f2=shuffle \
+  python -m vocoder_tpu.cli.bench_infer --model bigvgan --batch 16
+run infer_bigvgan_fir_mixed24 env VOCODER_AMP_FIR=mm,f2=shuffle,f4=shuffle \
+  python -m vocoder_tpu.cli.bench_infer --model bigvgan --batch 16
+
 # BigVGAN train knee: b16 (HiFiGAN saturated at b16-b32; BigVGAN unmeasured).
 run train_bigvgan_b16 python -m vocoder_tpu.cli.bench_train --model bigvgan \
   --batch 16 --iters 10

@@ -43,8 +43,12 @@ def _oracle(blocks, xf, kernel_sizes, dilation_sizes, cfg, fold):
     return sum(outs) / len(kernel_sizes)
 
 
+@pytest.mark.parametrize("fir", ["mm", "shuffle", "f2=shuffle,f8=mm"])
 @pytest.mark.parametrize("fold", [1, 2, 8])
-def test_amp_stage_fused_matches_xla(fold):
+def test_amp_stage_fused_matches_xla(fold, fir, monkeypatch):
+    # All three FIR lowerings (and a mixed per-fold spec) must agree with the
+    # XLA oracle; f == 1 ignores the spec (taps are plain row-shifted FMAs).
+    monkeypatch.setattr(amp_block, "_FIR_SPEC", amp_block._parse_fir_spec(fir))
     kernel_sizes = (3, 5)
     dilation_sizes = ((1, 2), (1, 3))
     c = 128 // fold

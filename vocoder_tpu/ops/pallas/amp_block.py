@@ -68,12 +68,41 @@ import os as _os
 #             on the VPU — near-zero MXU FLOPs (the mm form pays ~41 ms of
 #             structural-zero matmuls at roofline across the f>1 stages).
 #             Re-measurable now that poly-sin freed the VPU budget.
-FIR_BACKEND = _os.environ.get("VOCODER_AMP_FIR", "mm")
-if FIR_BACKEND not in ("mm", "shuffle"):
-    raise ValueError(
-        f"VOCODER_AMP_FIR={FIR_BACKEND!r} is not a known backend; "
-        "expected 'mm' (default) or 'shuffle'"
-    )
+# MIXED (per-stage) lowering: a comma spec selects per fold factor, e.g.
+#   VOCODER_AMP_FIR="mm,f2=shuffle" — shuffle on the f=2 stage, mm elsewhere.
+# The fold factor f is a static property of each generator stage (128/C), so
+# a per-f choice IS the per-stage choice the README roadmap describes.
+
+
+def _parse_fir_spec(s: str) -> dict:
+    spec: dict = {}
+    for part in s.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            k, v = part.split("=", 1)
+            if not (k.startswith("f") and k[1:].isdigit()):
+                raise ValueError(
+                    f"VOCODER_AMP_FIR entry {part!r}: per-stage keys look like 'f2=shuffle'"
+                )
+            spec[int(k[1:])] = v
+        else:
+            spec[None] = part
+    for v in spec.values():
+        if v not in ("mm", "shuffle"):
+            raise ValueError(
+                f"VOCODER_AMP_FIR backend {v!r} is not known; expected 'mm' or 'shuffle'"
+            )
+    return spec
+
+
+_FIR_SPEC = _parse_fir_spec(_os.environ.get("VOCODER_AMP_FIR", "mm"))
+
+
+def fir_backend(f: int) -> str:
+    """FIR lowering for a stage with fold factor f (tests monkeypatch _FIR_SPEC)."""
+    return _FIR_SPEC.get(f, _FIR_SPEC.get(None, "mm"))
 
 
 def _ceil(a: int, b: int) -> int:
@@ -115,7 +144,7 @@ def _aa_extra(f: int) -> tuple[int, int]:
     ceil(5/f) rows), recombination reads samples [0, 5] (right reach a//f
     rows, +1 when the lane phase overflows).  f == 1: row-shift FMAs over
     samples [-5, 0] / [0, 5]."""
-    if f > 1 and FIR_BACKEND == "mm":
+    if f > 1 and fir_backend(f) == "mm":
         up, dn = _fir_shifts(f)
         return -min(up) - min(dn), max(up) + max(dn)
     if f > 1:
@@ -276,7 +305,7 @@ def _aa_apply(arr, base: int, ab, f: int, c: int, taps, wup_ref, wdn_ref, mm_dty
     f == 1: taps are pure row-shifted FMAs (no lane phases), kept on the VPU.
     """
     l = f * c
-    if f > 1 and FIR_BACKEND == "mm":
+    if f > 1 and fir_backend(f) == "mm":
         up_shifts, dn_shifts = _fir_shifts(f)
         y, yb = _mm_taps(arr, base, wup_ref, 0, up_shifts, mm_dtype)
         y = snake(y, ab[0:1, :], ab[1:2, :])  # the 2x gain is folded into w_up
@@ -381,7 +410,7 @@ def _kernel(
 
     rest = (wup_ref, wdn_ref, o_ref, x_vmem, sem) for folded "mm" stages;
     the f == 1 and "shuffle" FIRs are FMA/shuffle chains with no weights."""
-    if f > 1 and FIR_BACKEND == "mm":
+    if f > 1 and fir_backend(f) == "mm":
         wup_ref, wdn_ref, o_ref, x_vmem, sem = rest
     else:
         wup_ref = wdn_ref = None
@@ -540,7 +569,7 @@ def amp_stage_fused(
         block_params, kernel_sizes, dilation_sizes, f, c, logscale, mm_dtype
     )
     inputs = [xf, wc, bias, ab]
-    if f > 1 and FIR_BACKEND == "mm":
+    if f > 1 and fir_backend(f) == "mm":
         w_up, w_dn = _fir_weights(f, c, mm_dtype)
         inputs += [w_up, w_dn]
 
