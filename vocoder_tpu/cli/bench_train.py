@@ -28,6 +28,12 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--g-only", action="store_true", help="skip the discriminator phase")
     ap.add_argument(
+        "--gen-checkpointing",
+        action="store_true",
+        help="rematerialize the generator's AMP blocks in the g-phase backward "
+        "(trades recompute FLOPs for activation-save HBM traffic)",
+    )
+    ap.add_argument(
         "--memory-stats",
         action="store_true",
         help="print XLA memory_analysis of the compiled phases + live HBM after the run",
@@ -46,6 +52,12 @@ def main(argv=None):
         spectral_precision=args.spectral_precision,
         loss_stft_dtype=args.loss_stft_dtype,
     )
+    if args.gen_checkpointing:
+        import dataclasses
+
+        if not any(f.name == "checkpointing" for f in dataclasses.fields(cfg.generator)):
+            raise SystemExit(f"--gen-checkpointing: {type(cfg.generator).__name__} has no remat flag")
+        cfg = cfg.replace(generator=dataclasses.replace(cfg.generator, checkpointing=True))
     t_samples = cfg.num_frames * cfg.hop_length
     state = gan_mod.create_train_state(jax.random.key(0), cfg)
     batch = {
