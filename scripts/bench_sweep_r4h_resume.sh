@@ -49,9 +49,10 @@ for arm in ("soak10k_hifigan", "soak5k_bigvgan"):
     nan = [r for r in rows if any(isinstance(v, float) and not math.isfinite(v) for v in r.values())]
     d = [r["train/discriminator/all"] for r in rows if "train/discriminator/all" in r]
     g = [r["train/generator/all"] for r in rows if "train/generator/all" in r]
-    print(f"--- {arm}: {len(rows)} rows, {len(nan)} non-finite rows; "
-          f"d range [{min(d):.3f},{max(d):.3f}] g range [{min(g):.3f},{max(g):.3f}]"
-          if d else f"--- {arm}: {len(rows)} rows, {len(nan)} non-finite rows")
+    ranges = "".join(
+        f" {n} range [{min(v):.3f},{max(v):.3f}]" for n, v in (("d", d), ("g", g)) if v
+    )
+    print(f"--- {arm}: {len(rows)} rows, {len(nan)} non-finite rows;{ranges}")
     for r in rows:
         if "val/metrics/mel" in r:
             print(f"  step {r.get('step','?'):>6}  val mel-L1 {r['val/metrics/mel']:.4f}")
