@@ -33,8 +33,12 @@ def parse_xplane(trace_dir: pathlib.Path):
             continue
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         # Prefer the "XLA Ops" lines (per-op events); module/step lines
-        # overlap them and would double-count.
-        lines = [l for l in plane.lines if "XLA Ops" in l.name] or list(plane.lines)
+        # overlap them and would double-count — and so would "Async XLA Ops"
+        # (async copy windows span the compute they overlap; counting them
+        # inflated the r5a BigVGAN train profile 7x before this filter).
+        lines = [
+            l for l in plane.lines if "XLA Ops" in l.name and "Async" not in l.name
+        ] or list(plane.lines)
         per_op = collections.Counter()
         for line in lines:
             for ev in line.events:
