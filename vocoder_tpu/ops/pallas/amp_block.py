@@ -602,6 +602,9 @@ def amp_stage_fused(
             pltpu.VMEM((2, win, l), xf.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # Default scoped-vmem limit is 16 MiB; the 2048-row tiles need ~16.4
+        # (measured OOM by 384K, r4i) and 4096 more.  v5e has 128 MiB VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
 
