@@ -484,12 +484,13 @@ def _kernel(
 def _max_tile() -> int:
     """Tile-row cap (VOCODER_AMP_TILE).  Larger tiles amortise the halo
     recompute (96/96 rows at f=1, 56/56 at f=2 — 19%/11% of a 1024-row
-    tile) against VMEM: at 2048 rows the f=1/f=2 stages stay ~11 MB
-    (4 MB folded conv weights + 2-slot input + fp32 chain intermediates);
-    4096 exceeds v5e VMEM at f<=2."""
+    tile).  r5 measured curve at b16 (kernel requests a 100 MiB scoped-vmem
+    budget; the 16 MiB default OOM'd 2048 by 384K): 1024 = 112.9 ms,
+    2048 = 105.8, 4096 = 102.5 — 4096 is the default; shorter inputs fall
+    back automatically via _pick_tile."""
     import os
 
-    v = int(os.environ.get("VOCODER_AMP_TILE", "1024"))
+    v = int(os.environ.get("VOCODER_AMP_TILE", "4096"))
     if v not in (512, 1024, 2048, 4096):
         raise ValueError(f"VOCODER_AMP_TILE={v} not in (512, 1024, 2048, 4096)")
     return v
