@@ -1,7 +1,8 @@
 """Benchmark: generated audio-seconds per second per chip, per flagship family.
 
 Runs the three headline 44.1 kHz generators at their BENCH.md flagship batch
-points — HiFiGAN b128, Vocos b64, BigVGAN b16 — each with folded weight norm,
+points — HiFiGAN b128, Vocos b128, BigVGAN b64 (the r5 measured knees) —
+each with folded weight norm,
 bf16, params-as-jit-args, and prints ONE JSON line per model (HiFiGAN first,
 so single-line consumers keep reading the historical flagship metric).
 
@@ -24,8 +25,8 @@ from jax import lax
 # (model preset, batch) at each family's measured-knee flagship point.
 CONFIGS = [
     ("hifigan", 128),
-    ("vocos", 64),
-    ("bigvgan", 16),
+    ("vocos", 128),
+    ("bigvgan", 64),
 ]
 
 FRAMES = 256
